@@ -1,0 +1,273 @@
+"""Hierarchical YAML config cascade.
+
+Reproduces the user-facing semantics of the reference config system
+(`train_bisinger/utils/hparams.py:16-123`): YAML files form a DAG via a
+`base_config` key (string or list, relative `./` paths allowed), loaded
+depth-first with child-overrides-parent recursive dict merge, plus
+`k=v,k2=v2` string overrides type-coerced from the existing value.
+
+Differences from the reference (deliberate, TPU-first):
+  - No global mutable dict. `load_hparams` returns an immutable `HParams`
+    tree that is passed explicitly to model constructors; hashable so it
+    can ride through `jax.jit` static args.
+  - Checkpoint-dir config persistence is handled by the trainer
+    (`bisinger_tpu.training.trainer`), not here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+from typing import Any, Dict, Iterator, List, Mapping, Optional, Union
+
+import yaml
+
+
+class HParams(Mapping):
+    """Immutable, hashable, dot-and-item-accessible config tree."""
+
+    __slots__ = ("_data", "_hash")
+
+    def __init__(self, data: Optional[Dict[str, Any]] = None, **kwargs):
+        merged = dict(data or {})
+        merged.update(kwargs)
+        object.__setattr__(
+            self,
+            "_data",
+            {
+                k: HParams(v) if isinstance(v, dict) and not isinstance(v, HParams) else v
+                for k, v in merged.items()
+            },
+        )
+        object.__setattr__(self, "_hash", None)
+
+    # -- Mapping protocol ---------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return self._data[key]
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._data)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __contains__(self, key: object) -> bool:
+        return key in self._data
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._data.get(key, default)
+
+    # -- attribute access ---------------------------------------------------
+    def __getattr__(self, key: str) -> Any:
+        try:
+            return self._data[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+    def __setattr__(self, key: str, value: Any):
+        raise TypeError("HParams is immutable; use .replace(**updates)")
+
+    # -- functional update --------------------------------------------------
+    def replace(self, **updates) -> "HParams":
+        new = dict(self._data)
+        new.update(updates)
+        return HParams(new)
+
+    def merged(self, other: Union["HParams", Dict[str, Any]]) -> "HParams":
+        return HParams(_deep_merge(self.to_dict(), _as_dict(other)))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            k: v.to_dict() if isinstance(v, HParams) else v for k, v in self._data.items()
+        }
+
+    # -- hashing (so HParams can be a static jit arg) -----------------------
+    def __hash__(self) -> int:
+        h = object.__getattribute__(self, "_hash")
+        if h is None:
+            h = hash(_freeze(self._data))
+            object.__setattr__(self, "_hash", h)
+        return h
+
+    def __eq__(self, other: object) -> bool:
+        if isinstance(other, HParams):
+            return self.to_dict() == other.to_dict()
+        if isinstance(other, dict):
+            return self.to_dict() == other
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        return f"HParams({json.dumps(self.to_dict(), indent=2, default=str)})"
+
+
+def _as_dict(x: Union[HParams, Dict[str, Any]]) -> Dict[str, Any]:
+    return x.to_dict() if isinstance(x, HParams) else dict(x)
+
+
+def _freeze(obj: Any) -> Any:
+    if isinstance(obj, (HParams, dict)):
+        items = obj._data.items() if isinstance(obj, HParams) else obj.items()
+        return tuple(sorted((k, _freeze(v)) for k, v in items))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+def _deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    """Child-overrides-parent recursive merge (reference `hparams.py:16-21`)."""
+    out = dict(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _resolve_path(path: str, relative_to: Optional[str], search_roots: List[str]) -> str:
+    if path.startswith("./") and relative_to is not None:
+        cand = os.path.join(os.path.dirname(relative_to), path[2:])
+        if os.path.exists(cand):
+            return cand
+    if os.path.isabs(path) and os.path.exists(path):
+        return path
+    for root in search_roots:
+        cand = os.path.join(root, path)
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(f"config {path!r} not found under {search_roots}")
+
+
+def _load_config_file(
+    path: str, search_roots: List[str], seen: Optional[set] = None
+) -> Dict[str, Any]:
+    """Depth-first base_config cascade (reference `hparams.py:48-66`)."""
+    seen = set() if seen is None else seen
+    path = os.path.abspath(path)
+    if path in seen:
+        raise ValueError(f"config cycle detected at {path}")
+    seen.add(path)
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    bases = cfg.pop("base_config", [])
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: Dict[str, Any] = {}
+    for base in bases:
+        base_path = _resolve_path(base, path, search_roots)
+        merged = _deep_merge(merged, _load_config_file(base_path, search_roots, seen))
+    return _deep_merge(merged, cfg)
+
+
+_BOOL_STRINGS = {"true": True, "false": False, "True": True, "False": False}
+
+
+def _coerce(value: str, old: Any) -> Any:
+    """Type-coerce a CLI override from the existing value's type
+    (reference `hparams.py:90-96`)."""
+    if value in _BOOL_STRINGS:
+        return _BOOL_STRINGS[value]
+    if old is None:
+        return _parse_literal(value)
+    if isinstance(old, bool):
+        return value in ("1", "true", "True")
+    if isinstance(old, int):
+        try:
+            return int(value)
+        except ValueError:
+            return float(value)
+    if isinstance(old, float):
+        return float(value)
+    if isinstance(old, (list, tuple)):
+        return _parse_literal(value)
+    return value
+
+
+def _parse_literal(value: str) -> Any:
+    try:
+        return json.loads(value)
+    except (json.JSONDecodeError, ValueError):
+        return value
+
+
+def parse_overrides(spec: str) -> Dict[str, str]:
+    """Parse 'a=1,b=2' (commas inside [] are protected)."""
+    out: Dict[str, str] = {}
+    if not spec:
+        return out
+    # split on commas not inside brackets
+    parts = re.split(r",(?![^\[]*\])", spec)
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"override {part!r} must be k=v")
+        k, v = part.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def load_hparams(
+    config_path: Optional[str] = None,
+    overrides: Union[str, Dict[str, Any], None] = None,
+    search_roots: Optional[List[str]] = None,
+    base: Optional[Union[HParams, Dict[str, Any]]] = None,
+) -> HParams:
+    """Load the full config cascade for one experiment.
+
+    Precedence (lowest→highest): built-in defaults < base config DAG <
+    experiment config < `overrides` — matching the reference ordering
+    (`hparams.py:69-96`) minus the work-dir persistence step.
+    """
+    from bisinger_tpu.config.defaults import DEFAULT_HPARAMS
+
+    roots = list(search_roots or [])
+    roots.append(os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "configs"))
+    roots.append(os.getcwd())
+
+    cfg = _as_dict(base) if base is not None else dict(DEFAULT_HPARAMS)
+    if config_path is not None:
+        path = _resolve_path(config_path, None, roots)
+        cfg = _deep_merge(cfg, _load_config_file(path, roots))
+
+    if overrides:
+        if isinstance(overrides, str):
+            overrides = parse_overrides(overrides)
+        for k, v in overrides.items():
+            node = cfg
+            keys = k.split(".")
+            for kk in keys[:-1]:
+                node = node.setdefault(kk, {})
+            old = node.get(keys[-1])
+            node[keys[-1]] = _coerce(v, old) if isinstance(v, str) else v
+
+    return HParams(cfg)
+
+
+def set_hparams(argv: Optional[List[str]] = None) -> HParams:
+    """CLI-compatible entry mirroring the reference flags
+    (`hparams.py:26-36`): --config --exp_name --hparams --infer --validate
+    --reset --debug."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="")
+    parser.add_argument("--exp_name", type=str, default="")
+    parser.add_argument("--hparams", type=str, default="")
+    parser.add_argument("--infer", action="store_true")
+    parser.add_argument("--validate", action="store_true")
+    parser.add_argument("--reset", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    args, _ = parser.parse_known_args(argv)
+
+    hp = load_hparams(args.config or None, args.hparams or None)
+    work_dir = os.path.join("checkpoints", args.exp_name) if args.exp_name else ""
+    return hp.replace(
+        exp_name=args.exp_name,
+        work_dir=work_dir,
+        infer=args.infer,
+        validate=args.validate,
+        reset=args.reset,
+        debug=args.debug,
+    )

@@ -1,0 +1,316 @@
+"""Shallow Gaussian diffusion mel decoder with `lax.scan` samplers.
+
+Behavioural port of `train_bisinger/usr/diff/shallow_diffusion_tts.py` in
+[B, T, M] layout, TPU-first:
+
+  - beta schedules ('linear' to max_beta over T steps; 'cosine') built as
+    numpy constants at init; all derived buffers stacked so samplers can
+    gather per-step coefficients inside `lax.scan`;
+  - training: fs2(skip_decoder) -> cond, t ~ U[0, K_step), q_sample,
+    eps-prediction L1/L2 (`p_losses`, reference `:210-228`);
+  - inference: full fs2 -> fs2_mel; start from q_sample(fs2_mel, K-1)
+    (shallow) or pure noise (`gaussian_start`); reverse DDPM (`p_sample`,
+    `:159-166`) or PLMS (`p_sample_plms`, `:168-201`, Adams-Bashforth
+    orders 1-4 with the 2-NFE warmup step) — both as single compiled
+    `lax.scan` programs, with the PLMS noise history carried as scan state
+    instead of the reference's Python deque.
+
+RNG is threaded explicitly (`rng` argument) for reproducible sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from bisinger_tpu.config import HParams
+from bisinger_tpu.models.diffnet import DiffNet
+from bisinger_tpu.models.fs2 import FastSpeech2, FastSpeech2MIDI
+
+
+def linear_beta_schedule(timesteps: int, max_beta: float = 0.01) -> np.ndarray:
+    return np.linspace(1e-4, max_beta, timesteps)
+
+
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
+    steps = timesteps + 1
+    x = np.linspace(0, steps, steps)
+    alphas_cumprod = np.cos(((x / steps) + s) / (1 + s) * np.pi * 0.5) ** 2
+    alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
+    betas = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+    return np.clip(betas, 0, 0.999)
+
+
+class DiffusionBuffers:
+    """Precomputed schedule constants (reference buffer registry,
+    `shallow_diffusion_tts.py:90-123`)."""
+
+    def __init__(self, betas: np.ndarray):
+        alphas = 1.0 - betas
+        alphas_cumprod = np.cumprod(alphas, axis=0)
+        alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+        self.betas = betas.astype(np.float32)
+        self.alphas_cumprod = alphas_cumprod.astype(np.float32)
+        self.alphas_cumprod_prev = alphas_cumprod_prev.astype(np.float32)
+        self.sqrt_alphas_cumprod = np.sqrt(alphas_cumprod).astype(np.float32)
+        self.sqrt_one_minus_alphas_cumprod = np.sqrt(1.0 - alphas_cumprod).astype(np.float32)
+        self.sqrt_recip_alphas_cumprod = np.sqrt(1.0 / alphas_cumprod).astype(np.float32)
+        self.sqrt_recipm1_alphas_cumprod = np.sqrt(1.0 / alphas_cumprod - 1).astype(np.float32)
+        posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        self.posterior_variance = posterior_variance.astype(np.float32)
+        self.posterior_log_variance_clipped = np.log(
+            np.maximum(posterior_variance, 1e-20)
+        ).astype(np.float32)
+        self.posterior_mean_coef1 = (
+            betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+        ).astype(np.float32)
+        self.posterior_mean_coef2 = (
+            (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
+        ).astype(np.float32)
+
+
+def make_betas(hp: HParams) -> np.ndarray:
+    timesteps = hp["timesteps"]
+    if hp.get("schedule_type", "cosine") == "linear":
+        return linear_beta_schedule(timesteps, hp.get("max_beta", 0.01))
+    return cosine_beta_schedule(timesteps)
+
+
+def _extract(buf, t, ndim):
+    """Gather per-batch step coefficients and broadcast to x's rank."""
+    out = jnp.take(buf, t)
+    return out.reshape(out.shape + (1,) * (ndim - out.ndim))
+
+
+class GaussianDiffusion(nn.Module):
+    """Owns the fs2 conditioner and the DiffNet denoiser (reference
+    `GaussianDiffusion.__init__`, `shallow_diffusion_tts.py:71-126`)."""
+
+    hp: HParams
+    vocab_size: int
+    out_dims: int = 80
+
+    def setup(self):
+        hp = self.hp
+        if hp.get("use_midi"):
+            self.fs2 = FastSpeech2MIDI(hp=hp, vocab_size=self.vocab_size, name="fs2")
+        else:
+            self.fs2 = FastSpeech2(hp=hp, vocab_size=self.vocab_size, name="fs2")
+        self.denoise_fn = DiffNet(hp=hp, in_dims=self.out_dims, name="denoise_fn")
+        self.buffers = DiffusionBuffers(make_betas(hp))
+        self.K_step = hp["K_step"]
+        self.loss_type = hp.get("diff_loss_type", "l1")
+        keep = hp.get("keep_bins", self.out_dims)
+        self.spec_min = jnp.asarray(hp["spec_min"], dtype=jnp.float32)[None, None, :keep]
+        self.spec_max = jnp.asarray(hp["spec_max"], dtype=jnp.float32)[None, None, :keep]
+
+    # ---- spec normalization ----------------------------------------------
+    def norm_spec(self, x):
+        return (x - self.spec_min) / (self.spec_max - self.spec_min) * 2 - 1
+
+    def denorm_spec(self, x):
+        return (x + 1) / 2 * (self.spec_max - self.spec_min) + self.spec_min
+
+    # ---- forward process --------------------------------------------------
+    def q_sample(self, x_start, t, noise):
+        b = self.buffers
+        return (
+            _extract(jnp.asarray(b.sqrt_alphas_cumprod), t, x_start.ndim) * x_start
+            + _extract(jnp.asarray(b.sqrt_one_minus_alphas_cumprod), t, x_start.ndim)
+            * noise
+        )
+
+    def p_losses(self, x_start, t, cond, rng, nonpadding=None):
+        noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
+        x_noisy = self.q_sample(x_start, t, noise)
+        x_recon = self.denoise_fn(x_noisy, t, cond)
+        if self.loss_type == "l1":
+            err = jnp.abs(noise - x_recon)
+            if nonpadding is not None:
+                w = nonpadding[:, :, None]
+                return (err * w).sum() / jnp.maximum(w.sum() * x_start.shape[-1], 1.0)
+            return err.mean()
+        if self.loss_type == "l2":
+            return jnp.mean((noise - x_recon) ** 2)
+        raise NotImplementedError(self.loss_type)
+
+    # ---- reverse process: DDPM scan --------------------------------------
+    def predict_start_from_noise(self, x_t, t, noise):
+        b = self.buffers
+        return (
+            _extract(jnp.asarray(b.sqrt_recip_alphas_cumprod), t, x_t.ndim) * x_t
+            - _extract(jnp.asarray(b.sqrt_recipm1_alphas_cumprod), t, x_t.ndim) * noise
+        )
+
+    def p_sample(self, x, t, cond, rng, clip_denoised: bool = True):
+        b = self.buffers
+        noise_pred = self.denoise_fn(x, t, cond)
+        x_recon = self.predict_start_from_noise(x, t, noise_pred)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        model_mean = (
+            _extract(jnp.asarray(b.posterior_mean_coef1), t, x.ndim) * x_recon
+            + _extract(jnp.asarray(b.posterior_mean_coef2), t, x.ndim) * x
+        )
+        model_log_var = _extract(
+            jnp.asarray(b.posterior_log_variance_clipped), t, x.ndim
+        )
+        noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        nonzero = (1.0 - (t == 0).astype(x.dtype)).reshape((-1,) + (1,) * (x.ndim - 1))
+        return model_mean + nonzero * jnp.exp(0.5 * model_log_var) * noise
+
+    def ddpm_sample_loop(self, x, cond, k: int, rng):
+        """Reverse DDPM from step k-1 down to 0 as one `lax.scan`."""
+        ts = jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
+        (x, _), _ = self._scan_ddpm(x, cond, ts, rng)
+        return x
+
+    def _scan_ddpm(self, x, cond, ts, rng):
+        # closing over self inside lax.scan is safe: p_sample only reads
+        # params (no mutable flax state)
+        def body(carry, t):
+            x, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+            return (self.p_sample(x, tb, cond, step_rng), rng), None
+
+        return jax.lax.scan(body, (x, rng), ts)
+
+    # ---- reverse process: PLMS scan ---------------------------------------
+    def _plms_get_x_pred(self, x, noise_t, t, t_prev):
+        b = self.buffers
+        a_t = _extract(jnp.asarray(b.alphas_cumprod), t, x.ndim)
+        a_prev = _extract(jnp.asarray(b.alphas_cumprod), t_prev, x.ndim)
+        a_t_sq, a_prev_sq = jnp.sqrt(a_t), jnp.sqrt(a_prev)
+        x_delta = (a_prev - a_t) * (
+            (1.0 / (a_t_sq * (a_t_sq + a_prev_sq))) * x
+            - 1.0
+            / (
+                a_t_sq
+                * (jnp.sqrt((1 - a_prev) * a_t) + jnp.sqrt((1 - a_t) * a_prev))
+            )
+            * noise_t
+        )
+        return x + x_delta
+
+    def plms_sample_loop(self, x, cond, k: int, interval: int):
+        """PLMS (pseudo numerical methods, arXiv:2202.09778) reverse loop.
+
+        Matches the reference noise-history logic
+        (`shallow_diffusion_tts.py:168-201`): warmup step uses a 2-NFE
+        midpoint estimate, then Adams-Bashforth order 2/3/4 as history
+        fills. History rides in the scan carry (newest at index 0)."""
+        ts = np.arange(0, k, interval)[::-1].copy()  # e.g. 995, 990, ..., 0
+        n_steps = len(ts)
+
+        def t_batch(tv):
+            return jnp.full((x.shape[0],), tv, dtype=jnp.int32)
+
+        # ---- warmup (first step, 2 NFE) ----
+        t0 = int(ts[0])
+        tb = t_batch(t0)
+        tb_prev = jnp.maximum(tb - interval, 0)
+        noise_pred = self.denoise_fn(x, tb, cond)
+        x_pred = self._plms_get_x_pred(x, noise_pred, tb, tb_prev)
+        noise_pred_prev = self.denoise_fn(x_pred, tb_prev, cond)
+        noise_prime = (noise_pred + noise_pred_prev) / 2
+        x = self._plms_get_x_pred(x, noise_prime, tb, tb_prev)
+        history = jnp.stack([noise_pred] * 3)  # [3, B, T, M], newest first
+
+        if n_steps == 1:
+            return x
+
+        def body(carry, inputs):
+            x, history, count = carry
+            tv = inputs
+            tb = t_batch(tv)
+            tb_prev = jnp.maximum(tb - interval, 0)
+            noise_pred = self.denoise_fn(x, tb, cond)
+            h0, h1, h2 = history[0], history[1], history[2]
+            ab2 = (3 * noise_pred - h0) / 2
+            ab3 = (23 * noise_pred - 16 * h0 + 5 * h1) / 12
+            ab4 = (55 * noise_pred - 59 * h0 + 37 * h1 - 9 * h2) / 24
+            order = jnp.minimum(count, 3)
+            noise_prime = jnp.select([order == 1, order == 2], [ab2, ab3], ab4)
+            x = self._plms_get_x_pred(x, noise_prime, tb, tb_prev)
+            history = jnp.stack([noise_pred, h0, h1])
+            return (x, history, count + 1), None
+
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, history, jnp.int32(1)), jnp.asarray(ts[1:], dtype=jnp.int32)
+        )
+        return x
+
+    # ---- full forward -----------------------------------------------------
+    def __call__(
+        self,
+        txt_tokens,
+        mel2ph=None,
+        spk_embed=None,
+        ref_mels=None,
+        f0=None,
+        uv=None,
+        energy=None,
+        infer: bool = False,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        max_frames: Optional[int] = None,
+        **kwargs,
+    ):
+        hp = self.hp
+        if rng is None:
+            rng = self.make_rng("diffusion")
+        ret = self.fs2(
+            txt_tokens,
+            mel2ph=mel2ph,
+            spk_embed=spk_embed,
+            ref_mels=ref_mels,
+            f0=f0,
+            uv=uv,
+            energy=energy,
+            skip_decoder=(not infer),
+            infer=infer,
+            deterministic=deterministic,
+            max_frames=max_frames,
+            **kwargs,
+        )
+        cond = ret["decoder_inp"]  # [B, T, H]
+
+        if not infer:
+            rng_t, rng_noise = jax.random.split(rng)
+            b = txt_tokens.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, self.K_step)
+            x = self.norm_spec(ref_mels)  # [B, T, M]
+            ret["diff_loss"] = self.p_losses(x, t, cond, rng_noise)
+            return ret
+
+        ret["fs2_mel"] = ret["mel_out"]
+        fs2_mels = self.norm_spec(ret["mel_out"])
+        k = self.K_step
+        rng_start, rng_loop = jax.random.split(rng)
+        if hp.get("gaussian_start"):
+            x = jax.random.normal(rng_start, fs2_mels.shape, dtype=fs2_mels.dtype)
+        else:
+            noise = jax.random.normal(rng_start, fs2_mels.shape, dtype=fs2_mels.dtype)
+            t_start = jnp.full((fs2_mels.shape[0],), k - 1, dtype=jnp.int32)
+            x = self.q_sample(fs2_mels, t_start, noise)
+
+        speedup = hp.get("pndm_speedup")
+        if speedup:
+            x = self.plms_sample_loop(x, cond, k, int(speedup))
+        else:
+            (x, _), _ = self._scan_ddpm(
+                x, cond, jnp.arange(k - 1, -1, -1, dtype=jnp.int32), rng_loop
+            )
+        x = self.denorm_spec(x)
+        out_mel2ph = ret["mel2ph"]
+        if mel2ph is not None:
+            mask = (out_mel2ph > 0).astype(x.dtype)[:, :, None]
+            ret["mel_out"] = x * mask
+        else:
+            ret["mel_out"] = x
+        return ret

@@ -1,0 +1,58 @@
+import os
+
+import pytest
+
+from bisinger_tpu.config import HParams, load_hparams
+from bisinger_tpu.config.hparams import parse_overrides
+
+
+def test_defaults_load():
+    hp = load_hparams()
+    assert hp["hidden_size"] == 256
+    assert hp.audio_sample_rate == 24000
+    assert hp["binarization_args"]["with_f0"] is True
+
+
+def test_immutability_and_replace():
+    hp = load_hparams()
+    with pytest.raises(TypeError):
+        hp.hidden_size = 128
+    hp2 = hp.replace(hidden_size=128)
+    assert hp2.hidden_size == 128 and hp.hidden_size == 256
+
+
+def test_hashable():
+    hp = load_hparams()
+    assert hash(hp) == hash(hp.replace())
+    assert hash(hp) != hash(hp.replace(hidden_size=1))
+
+
+def test_yaml_cascade(tmp_path):
+    (tmp_path / "base.yaml").write_text("a: 1\nb: {x: 1, y: 2}\n")
+    (tmp_path / "mid.yaml").write_text("base_config: ./base.yaml\nb: {y: 3}\nc: 7\n")
+    (tmp_path / "exp.yaml").write_text(
+        "base_config:\n  - ./mid.yaml\na: 9\n"
+    )
+    hp = load_hparams(str(tmp_path / "exp.yaml"), base={})
+    assert hp["a"] == 9  # child overrides
+    assert hp["b"]["x"] == 1 and hp["b"]["y"] == 3  # recursive merge
+    assert hp["c"] == 7
+
+
+def test_cli_overrides():
+    hp = load_hparams(overrides="hidden_size=512,lr=0.5,use_uv=false")
+    assert hp.hidden_size == 512
+    assert hp.lr == 0.5
+    assert hp.use_uv is False
+
+
+def test_parse_overrides_protects_brackets():
+    d = parse_overrides("a=[1,2,3],b=2")
+    assert d == {"a": "[1,2,3]", "b": "2"}
+
+
+def test_cycle_detection(tmp_path):
+    (tmp_path / "a.yaml").write_text("base_config: ./b.yaml\n")
+    (tmp_path / "b.yaml").write_text("base_config: ./a.yaml\n")
+    with pytest.raises(ValueError):
+        load_hparams(str(tmp_path / "a.yaml"), base={})
