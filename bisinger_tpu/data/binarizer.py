@@ -1,0 +1,336 @@
+"""Offline binarizer: raw corpus metadata -> feature record shards.
+
+Re-creates the reference binarizer pipeline
+(`train_bisinger/data_gen/tts/base_binarizer.py` +
+`data_gen/singing/binarize.py`) on top of the framework's own DSP and
+record format:
+
+  - metadata: the BiSinger `raw_json_fn` line-per-dict format
+    (`binarize.py:321-358`): {item_name, txt, phs, ph_dur, notes,
+    notes_dur, is_slur, word_boundary, lang, speechsing};
+  - features per utterance: log-mel (`utils.audio.wav2spec`), f0 +
+    coarse pitch, mel2ph frame->phone map from `ph_dur` cumulative
+    rounding (`binarize.py:230-253`);
+  - split: test items by `test_prefixes`, else train; valid == test
+    (reference behaviour for singing);
+  - output per split: `<prefix>.data/.idx` shards, `<prefix>_lengths.npy`,
+    `<prefix>_f0s_mean_std.npy`, plus `phone_set.json` and `spk_map.json`.
+
+f0 extraction uses parselmouth (Praat autocorrelation) when available —
+matching the reference — and falls back to a numpy autocorrelation
+tracker (approximate; fine for synthetic corpora and CI).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from bisinger_tpu.config import HParams
+from bisinger_tpu.data.records import RecordWriter
+from bisinger_tpu.utils.audio import wav2spec
+from bisinger_tpu.utils.pitch import f0_to_coarse_np
+from bisinger_tpu.utils.text_encoder import TokenTextEncoder
+
+
+class BinarizationError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# f0 extraction
+# --------------------------------------------------------------------------
+def extract_f0_parselmouth(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
+    """Praat autocorrelation f0 aligned to mel frames (reference
+    `data_gen_utils.py:152-186`: f0_min 80, f0_max 750, voicing 0.6,
+    hop-dependent pad)."""
+    import parselmouth
+
+    hop = hp["hop_size"]
+    sr = hp["audio_sample_rate"]
+    time_step = hop / sr
+    f0 = (
+        parselmouth.Sound(wav, sr)
+        .to_pitch_ac(
+            time_step=time_step,
+            voicing_threshold=0.6,
+            pitch_floor=80,
+            pitch_ceiling=750,
+        )
+        .selected_array["frequency"]
+    )
+    pad_size = 4 if hop == 128 else 2
+    lpad = pad_size * 2
+    rpad = n_frames - len(f0) - lpad
+    f0 = np.pad(f0, (lpad, max(rpad, 0)))
+    delta = n_frames - len(f0)
+    if delta > 0:
+        f0 = np.concatenate([f0, [f0[-1]] * delta])
+    return f0[:n_frames].astype(np.float32)
+
+
+def extract_f0_autocorr(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
+    """Numpy fallback pitch tracker: windowed normalized autocorrelation
+    peak within [80, 750] Hz, energy-gated voicing."""
+    hop = hp["hop_size"]
+    sr = hp["audio_sample_rate"]
+    win = 1024
+    f0_min, f0_max = 80.0, 750.0
+    lag_min = int(sr / f0_max)
+    lag_max = int(sr / f0_min)
+    pad = win // 2
+    x = np.pad(wav.astype(np.float64), (pad, pad + win))
+    f0 = np.zeros(n_frames, dtype=np.float32)
+    # global energy threshold for voicing
+    rms_all = np.sqrt(np.mean(wav ** 2) + 1e-12)
+    for i in range(n_frames):
+        start = i * hop
+        frame = x[start : start + win]
+        frame = frame - frame.mean()
+        rms = np.sqrt(np.mean(frame ** 2) + 1e-12)
+        if rms < 0.1 * rms_all:
+            continue
+        spec = np.fft.rfft(frame, n=2 * win)
+        ac = np.fft.irfft(spec * np.conj(spec))[:lag_max + 1]
+        if ac[0] <= 0:
+            continue
+        ac = ac / ac[0]
+        seg = ac[lag_min : lag_max + 1]
+        lag = int(np.argmax(seg)) + lag_min
+        if ac[lag] > 0.3:
+            f0[i] = sr / lag
+    return f0
+
+
+def extract_f0(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
+    if hp.get("pitch_extractor", "parselmouth") == "parselmouth":
+        try:
+            return extract_f0_parselmouth(wav, n_frames, hp)
+        except ImportError:
+            pass
+    return extract_f0_autocorr(wav, n_frames, hp)
+
+
+# --------------------------------------------------------------------------
+# alignment
+# --------------------------------------------------------------------------
+def ph_durs_to_mel2ph(
+    ph_durs: List[float], n_frames: int, hop_size: int, sample_rate: int
+) -> np.ndarray:
+    """Seconds-per-phone -> frame->phone map with cumulative rounding
+    (reference `MidiSingingBinarizer.get_align`, `binarize.py:230-253`)."""
+    mel2ph = np.zeros(n_frames, dtype=np.int64)
+    start_time = 0.0
+    for i, d in enumerate(ph_durs):
+        start_frame = int(start_time * sample_rate / hop_size + 0.5)
+        end_frame = int((start_time + d) * sample_rate / hop_size + 0.5)
+        mel2ph[start_frame:end_frame] = i + 1
+        start_time += d
+    return mel2ph
+
+
+# --------------------------------------------------------------------------
+# wav IO
+# --------------------------------------------------------------------------
+def load_wav(path: str, sample_rate: int) -> np.ndarray:
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(path)
+    if wav.dtype == np.int16:
+        wav = wav.astype(np.float32) / 32768.0
+    elif wav.dtype == np.int32:
+        wav = wav.astype(np.float32) / 2147483648.0
+    elif wav.dtype != np.float32:
+        wav = wav.astype(np.float32)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)
+    if sr != sample_rate:
+        # polyphase-free linear resample (gate: corpora are expected at the
+        # configured rate already, as in the reference)
+        n_out = int(round(len(wav) * sample_rate / sr))
+        wav = np.interp(
+            np.linspace(0, len(wav) - 1, n_out), np.arange(len(wav)), wav
+        ).astype(np.float32)
+    return wav
+
+
+# --------------------------------------------------------------------------
+# binarizer
+# --------------------------------------------------------------------------
+class M4SingerBinarizer:
+    """BiSinger binarizer over the `raw_json_fn` metadata format."""
+
+    def __init__(self, hp: HParams):
+        self.hp = hp
+        self.items: Dict[str, Dict[str, Any]] = {}
+        self.item_names: List[str] = []
+
+    # ---- metadata --------------------------------------------------------
+    def load_meta_data(self):
+        hp = self.hp
+        path = os.path.join(hp["raw_data_dir"], hp["raw_json_fn"])
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    song = json.loads(line)
+                except json.JSONDecodeError:
+                    song = ast.literal_eval(line)
+                name = song["item_name"]
+                singer = name.split("#")[0]
+                wav_fn = song.get("wav_fn")
+                if wav_fn is None:
+                    singer_, song_name, sent_id = name.split("#")
+                    wav_fn = f"{hp['raw_data_dir']}/{singer_}#{song_name}/{sent_id}.wav"
+                lang = song.get("lang", 0)
+                lang_seq = lang if isinstance(lang, list) else [lang] * len(song["phs"])
+                self.items[name] = {
+                    "item_name": name,
+                    "wav_fn": wav_fn,
+                    "txt": song["txt"],
+                    "ph": " ".join(song["phs"]),
+                    "ph_durs": song["ph_dur"],
+                    "pitch_midi": song["notes"],
+                    "midi_dur": song["notes_dur"],
+                    "is_slur": song["is_slur"],
+                    "word_boundary": song["word_boundary"],
+                    "lang": lang_seq,
+                    "speechsing": [song.get("speechsing", 1)],
+                    "spk": singer,
+                }
+        self.item_names = sorted(self.items.keys())
+
+    def split_train_test(self) -> Tuple[List[str], List[str]]:
+        prefixes = self.hp["test_prefixes"]
+        test = [n for n in self.item_names if any(n.startswith(p) for p in prefixes)]
+        test_set = set(test)
+        train = [n for n in self.item_names if n not in test_set]
+        return train, test
+
+    # ---- vocab -----------------------------------------------------------
+    def build_phone_encoder(self) -> TokenTextEncoder:
+        hp = self.hp
+        out = os.path.join(hp["binary_data_dir"], "phone_set.json")
+        os.makedirs(hp["binary_data_dir"], exist_ok=True)
+        if not os.path.exists(out) or hp.get("reset_phone_dict", True):
+            phones = sorted(
+                {p for item in self.items.values() for p in item["ph"].split()}
+            )
+            with open(out, "w") as f:
+                json.dump(phones, f, ensure_ascii=False)
+        phones = json.load(open(out))
+        return TokenTextEncoder(vocab_list=phones, replace_oov=",")
+
+    def build_spk_map(self) -> Dict[str, int]:
+        hp = self.hp
+        spks = sorted({item["spk"] for item in self.items.values()})
+        spk_map = {s: i for i, s in enumerate(spks)}
+        assert len(spk_map) <= hp["num_spk"], (len(spk_map), hp["num_spk"])
+        with open(os.path.join(hp["binary_data_dir"], "spk_map.json"), "w") as f:
+            json.dump(spk_map, f, ensure_ascii=False)
+        return spk_map
+
+    # ---- per-item --------------------------------------------------------
+    def process_item(
+        self, item: Dict[str, Any], encoder: TokenTextEncoder, spk_map: Dict[str, int]
+    ) -> Optional[Dict[str, Any]]:
+        hp = self.hp
+        try:
+            wav = load_wav(item["wav_fn"], hp["audio_sample_rate"])
+            wav, mel = wav2spec(
+                wav,
+                sample_rate=hp["audio_sample_rate"],
+                fft_size=hp["fft_size"],
+                hop_size=hp["hop_size"],
+                win_size=hp["win_size"],
+                num_mels=hp["audio_num_mel_bins"],
+                fmin=hp["fmin"],
+                fmax=hp["fmax"],
+                eps=float(hp.get("wav2spec_eps", 1e-6)),
+            )
+            n_frames = mel.shape[0]
+            res = {
+                "item_name": item["item_name"],
+                "txt": item["txt"],
+                "ph": item["ph"],
+                "mel": mel.astype(np.float32),
+                "sec": len(wav) / hp["audio_sample_rate"],
+                "len": n_frames,
+                "spk_id": spk_map[item["spk"]],
+            }
+            if hp["binarization_args"].get("with_wav"):
+                res["wav"] = wav.astype(np.float32)
+            if hp["binarization_args"].get("with_f0", True):
+                f0 = extract_f0(wav, n_frames, hp)
+                if f0.sum() == 0:
+                    raise BinarizationError("Empty f0")
+                res["f0"] = f0
+                res["pitch"] = f0_to_coarse_np(f0)
+            phone = encoder.encode(item["ph"])
+            if len(phone) == 0:
+                raise BinarizationError("Empty phoneme")
+            res["phone"] = np.asarray(phone, dtype=np.int64)
+            res["mel2ph"] = ph_durs_to_mel2ph(
+                item["ph_durs"], n_frames, hp["hop_size"], hp["audio_sample_rate"]
+            )
+            for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
+                arr = np.asarray(item[key], dtype=np.int64)
+                res[key] = arr
+            res["midi_dur"] = np.asarray(item["midi_dur"], dtype=np.float32)
+            res["speechsing"] = np.asarray(item["speechsing"], dtype=np.int64)
+            assert (
+                res["pitch_midi"].shape
+                == res["is_slur"].shape
+                == res["lang"].shape
+                == (len(phone),)
+            ), (res["pitch_midi"].shape, len(phone))
+            return res
+        except BinarizationError as e:
+            print(f"| Skip item ({e}). item_name: {item['item_name']}")
+            return None
+
+    # ---- driver ----------------------------------------------------------
+    def process(self):
+        hp = self.hp
+        self.load_meta_data()
+        os.makedirs(hp["binary_data_dir"], exist_ok=True)
+        encoder = self.build_phone_encoder()
+        spk_map = self.build_spk_map()
+        train, test = self.split_train_test()
+        for prefix, names in [("valid", test), ("test", test), ("train", train)]:
+            self.process_split(prefix, names, encoder, spk_map)
+
+    def process_split(self, prefix, names, encoder, spk_map):
+        hp = self.hp
+        lengths, f0s = [], []
+        with RecordWriter(os.path.join(hp["binary_data_dir"], prefix)) as writer:
+            for name in names:
+                res = self.process_item(self.items[name], encoder, spk_map)
+                if res is None:
+                    continue
+                writer.add_item(res)
+                lengths.append(res["len"])
+                if "f0" in res:
+                    f0s.append(res["f0"])
+        np.save(
+            os.path.join(hp["binary_data_dir"], f"{prefix}_lengths.npy"),
+            np.asarray(lengths, dtype=np.int64),
+        )
+        if f0s:
+            cat = np.concatenate(f0s)
+            voiced = cat[cat > 0]
+            np.save(
+                os.path.join(hp["binary_data_dir"], f"{prefix}_f0s_mean_std.npy"),
+                np.asarray([voiced.mean(), voiced.std()], dtype=np.float32),
+            )
+        print(f"| binarized {prefix}: {len(lengths)} items")
+
+
+# alias used by configs (reference name)
+SingingBinarizer = M4SingerBinarizer

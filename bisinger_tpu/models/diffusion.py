@@ -245,6 +245,26 @@ class GaussianDiffusion(nn.Module):
         )
         return x
 
+    def init_path(self, txt_tokens, mel2ph=None, spk_embed=None, ref_mels=None,
+                  f0=None, uv=None, energy=None, **kwargs):
+        """Initialization-only forward touching every submodule (fs2 incl.
+        decoder + denoiser) without running the sampling scan. Use as
+        `model.init(rngs, **batch, method=GaussianDiffusion.init_path)` —
+        the train path alone would skip the fs2 decoder params (the
+        reference warm-starts them from the fs2 checkpoint instead)."""
+        kwargs.pop("infer", None)
+        kwargs.pop("rng", None)
+        ret = self.fs2(
+            txt_tokens, mel2ph=mel2ph, spk_embed=spk_embed, ref_mels=ref_mels,
+            f0=f0, uv=uv, energy=energy, skip_decoder=False, infer=False,
+            deterministic=True, **kwargs,
+        )
+        cond = ret["decoder_inp"]
+        x = self.norm_spec(ret["mel_out"])
+        t = jnp.zeros((txt_tokens.shape[0],), jnp.int32)
+        self.denoise_fn(x, t, cond)
+        return ret
+
     # ---- full forward -----------------------------------------------------
     def __call__(
         self,

@@ -91,6 +91,7 @@ class FastSpeech2(nn.Module):
         )
         out_dims = self.out_dims or hp["audio_num_mel_bins"]
         self.mel_out = nn.Dense(out_dims, name="mel_out")
+        self.embed_dropout = nn.Dropout(hp["dropout"])
         self.dur_predictor = DurationPredictor(
             n_layers=hp["dur_predictor_layers"],
             n_chans=self._predictor_hidden(),
@@ -154,7 +155,7 @@ class FastSpeech2(nn.Module):
             else:
                 nonpad = (txt_tokens != self.padding_idx).astype(jnp.int32)
                 x = x + sinusoidal_positions(nonpad, h)
-        x = nn.Dropout(hp["dropout"])(x, deterministic=deterministic)
+        x = self.embed_dropout(x, deterministic=deterministic)
         return x
 
     # ---- variance adaptors ------------------------------------------------
