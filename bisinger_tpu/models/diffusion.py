@@ -127,7 +127,7 @@ class GaussianDiffusion(nn.Module):
     def p_losses(self, x_start, t, cond, rng, nonpadding=None):
         noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
         x_noisy = self.q_sample(x_start, t, noise)
-        x_recon = self.denoise_fn(x_noisy, t, cond)
+        x_recon = self.denoise_fn(x_noisy, t, cond=cond)
         if self.loss_type == "l1":
             err = jnp.abs(noise - x_recon)
             if nonpadding is not None:
@@ -146,9 +146,9 @@ class GaussianDiffusion(nn.Module):
             - _extract(jnp.asarray(b.sqrt_recipm1_alphas_cumprod), t, x_t.ndim) * noise
         )
 
-    def p_sample(self, x, t, cond, rng, clip_denoised: bool = True):
+    def p_sample(self, x, t, cond_proj, rng, clip_denoised: bool = True):
         b = self.buffers
-        noise_pred = self.denoise_fn(x, t, cond)
+        noise_pred = self.denoise_fn(x, t, cond_proj=cond_proj)
         x_recon = self.predict_start_from_noise(x, t, noise_pred)
         if clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
@@ -163,20 +163,20 @@ class GaussianDiffusion(nn.Module):
         nonzero = (1.0 - (t == 0).astype(x.dtype)).reshape((-1,) + (1,) * (x.ndim - 1))
         return model_mean + nonzero * jnp.exp(0.5 * model_log_var) * noise
 
-    def ddpm_sample_loop(self, x, cond, k: int, rng):
+    def ddpm_sample_loop(self, x, cond_proj, k: int, rng):
         """Reverse DDPM from step k-1 down to 0 as one `lax.scan`."""
         ts = jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
-        (x, _), _ = self._scan_ddpm(x, cond, ts, rng)
+        (x, _), _ = self._scan_ddpm(x, cond_proj, ts, rng)
         return x
 
-    def _scan_ddpm(self, x, cond, ts, rng):
+    def _scan_ddpm(self, x, cond_proj, ts, rng):
         # closing over self inside lax.scan is safe: p_sample only reads
         # params (no mutable flax state)
         def body(carry, t):
             x, rng = carry
             rng, step_rng = jax.random.split(rng)
             tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-            return (self.p_sample(x, tb, cond, step_rng), rng), None
+            return (self.p_sample(x, tb, cond_proj, step_rng), rng), None
 
         return jax.lax.scan(body, (x, rng), ts)
 
@@ -197,7 +197,7 @@ class GaussianDiffusion(nn.Module):
         )
         return x + x_delta
 
-    def plms_sample_loop(self, x, cond, k: int, interval: int):
+    def plms_sample_loop(self, x, cond_proj, k: int, interval: int):
         """PLMS (pseudo numerical methods, arXiv:2202.09778) reverse loop.
 
         Matches the reference noise-history logic
@@ -214,9 +214,9 @@ class GaussianDiffusion(nn.Module):
         t0 = int(ts[0])
         tb = t_batch(t0)
         tb_prev = jnp.maximum(tb - interval, 0)
-        noise_pred = self.denoise_fn(x, tb, cond)
+        noise_pred = self.denoise_fn(x, tb, cond_proj=cond_proj)
         x_pred = self._plms_get_x_pred(x, noise_pred, tb, tb_prev)
-        noise_pred_prev = self.denoise_fn(x_pred, tb_prev, cond)
+        noise_pred_prev = self.denoise_fn(x_pred, tb_prev, cond_proj=cond_proj)
         noise_prime = (noise_pred + noise_pred_prev) / 2
         x = self._plms_get_x_pred(x, noise_prime, tb, tb_prev)
         history = jnp.stack([noise_pred] * 3)  # [3, B, T, M], newest first
@@ -229,7 +229,7 @@ class GaussianDiffusion(nn.Module):
             tv = inputs
             tb = t_batch(tv)
             tb_prev = jnp.maximum(tb - interval, 0)
-            noise_pred = self.denoise_fn(x, tb, cond)
+            noise_pred = self.denoise_fn(x, tb, cond_proj=cond_proj)
             h0, h1, h2 = history[0], history[1], history[2]
             ab2 = (3 * noise_pred - h0) / 2
             ab3 = (23 * noise_pred - 16 * h0 + 5 * h1) / 12
@@ -319,12 +319,15 @@ class GaussianDiffusion(nn.Module):
             t_start = jnp.full((fs2_mels.shape[0],), k - 1, dtype=jnp.int32)
             x = self.q_sample(fs2_mels, t_start, noise)
 
+        # conditioner projections are step-invariant: compute once, reuse
+        # across all NFE (see models/diffnet.py)
+        cond_proj = self.denoise_fn.cond_projections(cond)
         speedup = hp.get("pndm_speedup")
         if speedup:
-            x = self.plms_sample_loop(x, cond, k, int(speedup))
+            x = self.plms_sample_loop(x, cond_proj, k, int(speedup))
         else:
             (x, _), _ = self._scan_ddpm(
-                x, cond, jnp.arange(k - 1, -1, -1, dtype=jnp.int32), rng_loop
+                x, cond_proj, jnp.arange(k - 1, -1, -1, dtype=jnp.int32), rng_loop
             )
         x = self.denorm_spec(x)
         out_mel2ph = ret["mel2ph"]

@@ -1,0 +1,88 @@
+"""Device mesh + sharding helpers — the framework's entire distribution
+story.
+
+Replaces the reference's NCCL/DDP layer (`tasks/base_task.py:279-293`,
+`utils/pl_utils.py:79-253,847-903`) with SPMD over a
+`jax.sharding.Mesh`:
+
+  - one (data, model) mesh; batches sharded over 'data', parameters
+    replicated (round-1; model-axis sharding rules are in
+    `param_sharding` for when a model outgrows a chip);
+  - gradient all-reduce, loss psum, etc. are emitted by XLA from the
+    shardings — no explicit collectives in user code;
+  - multi-host: each host feeds its batch shard
+    (`DataLoader(shard_index=jax.process_index())`), and
+    `jax.make_array_from_process_local_data` assembles the global array.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# batch dict keys that have no leading batch dimension
+_UNBATCHED_KEYS = {"nsamples", "item_names"}
+
+
+def make_mesh(
+    num_data: int = -1, num_model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Create the ('data', 'model') mesh. num_data=-1 uses all remaining
+    devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data == -1:
+        num_data = len(devices) // num_model
+    wanted = num_data * num_model
+    device_array = mesh_utils.create_device_mesh(
+        (num_data, num_model), devices=devices[:wanted]
+    )
+    return Mesh(device_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis over 'data', rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put a host batch dict with the batch axis sharded over
+    'data'. Non-array fields pass through untouched."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if k in _UNBATCHED_KEYS or not isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = v
+        else:
+            out[k] = jax.device_put(v, sharding)
+    return out
+
+
+def global_batch_from_process_local(
+    batch: Dict[str, Any], mesh: Mesh
+) -> Dict[str, Any]:
+    """Multi-host path: assemble a globally-sharded array from each
+    process's local shard (hosts feed disjoint batch slices)."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if k in _UNBATCHED_KEYS or not isinstance(v, np.ndarray):
+            out[k] = v
+        else:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+    return out
+
+
+def param_sharding(path_str: str, mesh: Mesh) -> NamedSharding:
+    """Sharding rule for a parameter by name. Round-1 policy: replicate
+    everything (models are <=~50M params, far below one chip's HBM). The
+    hook exists so large variants can shard e.g. DiffNet channels or
+    vocoder channels over 'model' without touching call sites."""
+    return NamedSharding(mesh, P())

@@ -1,0 +1,91 @@
+"""CLI entry point (reference `tasks/run.py` + `data_gen/tts/bin/binarize.py`).
+
+Usage:
+    python -m bisinger_tpu.run --config exp.yaml --exp_name my_exp            # train
+    python -m bisinger_tpu.run --config exp.yaml --binarize                   # binarize
+    python -m bisinger_tpu.run --config exp.yaml --exp_name my_exp --infer \
+        --input scores.json --out out/                                        # infer
+
+The task class comes from hparams `task_cls` (dotted path), defaulting to
+the BiSinger diffusion recipe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import sys
+
+
+TASK_ALIASES = {
+    # reference task_cls names -> this framework's tasks
+    "usr.diffsinger_task.DiffSingerMIDITask": "bisinger_tpu.training.tasks.DiffSingerMIDITask",
+    "usr.diffsinger_task.AuxDecoderMIDITask": "bisinger_tpu.training.tasks.AuxDecoderMIDITask",
+    "tasks.tts.pe.PitchExtractionTask": "bisinger_tpu.training.tasks.PitchExtractionTask",
+}
+
+
+def resolve_task_cls(path: str):
+    path = TASK_ALIASES.get(path, path) or "bisinger_tpu.training.tasks.DiffSingerMIDITask"
+    module, name = path.rsplit(".", 1)
+    return getattr(importlib.import_module(module), name)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="")
+    parser.add_argument("--exp_name", type=str, default="default")
+    parser.add_argument("--hparams", type=str, default="")
+    parser.add_argument("--binarize", action="store_true")
+    parser.add_argument("--infer", action="store_true")
+    parser.add_argument("--input", type=str, default="", help="score json for --infer")
+    parser.add_argument("--out", type=str, default="infer_out")
+    parser.add_argument("--max_updates", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from bisinger_tpu.config import load_hparams
+
+    hp = load_hparams(args.config or None, args.hparams or None)
+    work_dir = os.path.join("checkpoints", args.exp_name)
+    hp = hp.replace(exp_name=args.exp_name, work_dir=work_dir, infer=args.infer)
+
+    if args.binarize:
+        from bisinger_tpu.data.binarizer import M4SingerBinarizer
+
+        M4SingerBinarizer(hp).process()
+        return 0
+
+    if args.infer:
+        from bisinger_tpu.inference.pipeline import SVSInfer
+        from bisinger_tpu.vocoders.hifigan import HifiGAN
+
+        vocoder = HifiGAN(hp) if hp.get("vocoder_ckpt") else None
+        infer = SVSInfer.from_work_dir(hp, work_dir, vocoder=vocoder)
+        if not args.input:
+            print("--infer requires --input scores.json", file=sys.stderr)
+            return 2
+        paths = infer.infer_from_json(args.input, args.out)
+        for p in paths:
+            print(p)
+        return 0
+
+    # train
+    from bisinger_tpu.training.trainer import Trainer
+    from bisinger_tpu.utils.text_encoder import build_phone_encoder
+
+    encoder = build_phone_encoder(hp["binary_data_dir"])
+    task_cls = resolve_task_cls(hp.get("task_cls", ""))
+    from bisinger_tpu.training.tasks import PitchExtractionTask
+
+    if task_cls is PitchExtractionTask:
+        task = task_cls(hp)
+    else:
+        task = task_cls(hp, encoder.vocab_size)
+    trainer = Trainer(task, hp)
+    trainer.fit(max_updates=args.max_updates or None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

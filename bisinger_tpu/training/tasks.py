@@ -1,0 +1,292 @@
+"""Task layer: training recipes as pure train/val step functions.
+
+Counterparts of the reference task classes
+(`tasks/tts/fs2.py`, `usr/diffsinger_task.py`), re-shaped for SPMD: a
+task owns (model, optimizer, loss assembly) and exposes jit-compiled
+`train_step(state, batch, rng)` / `val_step` working on sharded arrays.
+
+  - `AuxDecoderMIDITask`: trains FastSpeech2MIDI standalone — the
+    FFT-Singer stage (`usr/diffsinger_task.py:567-577`); losses = mel
+    (l1+ssim) + ph/word/sent duration (+ pitch/energy when enabled).
+  - `DiffSingerMIDITask`: shallow-diffusion stage
+    (`usr/diffsinger_task.py:380-564`): diff_loss + duration losses;
+    fs2 warm-start from the stage-1 checkpoint; `switch_midi2f0_step`
+    curriculum (past N steps, f0/uv inputs are dropped so MIDI drives
+    pitch).
+  - `PitchExtractionTask`: PE on (mel -> f0/uv) with f0 L1 + uv BCE
+    (`tasks/tts/pe.py:103-157`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from bisinger_tpu.config import HParams
+from bisinger_tpu.models.diffusion import GaussianDiffusion
+from bisinger_tpu.models.fs2 import FastSpeech2MIDI
+from bisinger_tpu.models.pe import PitchExtractor
+from bisinger_tpu.training import losses as L
+from bisinger_tpu.training.optim import build_optimizer, predictor_only_mask
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def _model_kwargs(batch: Dict[str, Any], hp: HParams) -> Dict[str, Any]:
+    """Map a collated batch to FastSpeech2MIDI call kwargs."""
+    kwargs = dict(
+        txt_tokens=batch["txt_tokens"],
+        mel2ph=batch["mel2ph"],
+        spk_embed=batch["spk_ids"] if hp["use_spk_id"] else batch.get("spk_embed"),
+        ref_mels=batch["mels"],
+        f0=batch.get("f0"),
+        uv=batch.get("uv"),
+        energy=batch.get("energy"),
+    )
+    if hp.get("use_midi"):
+        kwargs.update(
+            pitch_midi=batch.get("pitch_midi"),
+            midi_dur=batch.get("midi_dur"),
+            is_slur=batch.get("is_slur"),
+            lang=batch.get("lang"),
+            speechsing=batch.get("speechsing"),
+        )
+    return kwargs
+
+
+class AuxDecoderMIDITask:
+    """FFT-Singer stage: FastSpeech2MIDI alone."""
+
+    schedule = "rsqrt"
+
+    def __init__(self, hp: HParams, vocab_size: int):
+        self.hp = hp
+        self.vocab_size = vocab_size
+        self.model = self.build_model()
+        self.tx = build_optimizer(hp, schedule=self.schedule, trainable_mask=None)
+
+    # ---- model -----------------------------------------------------------
+    def build_model(self):
+        return FastSpeech2MIDI(hp=self.hp, vocab_size=self.vocab_size)
+
+    def init_state(self, rng, batch: Dict[str, Any]) -> TrainState:
+        variables = self.model.init(
+            {"params": rng}, **_model_kwargs(batch, self.hp)
+        )
+        return TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+        )
+
+    # ---- losses ----------------------------------------------------------
+    def compute_losses(
+        self, ret: Dict[str, Any], batch: Dict[str, Any]
+    ) -> Dict[str, jnp.ndarray]:
+        hp = self.hp
+        losses: Dict[str, jnp.ndarray] = {}
+        L.add_mel_loss(ret["mel_out"], batch["mels"], losses, hp)
+        L.add_dur_loss_midi(
+            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch["word_boundary"],
+            losses, hp,
+        )
+        if hp["use_pitch_embed"]:
+            L.add_pitch_loss(ret, batch, losses, hp)
+        if hp["use_energy_embed"]:
+            L.add_energy_loss(ret["energy_pred"], batch["energy"], losses, hp)
+        return losses
+
+    def _forward(self, params, batch, rng, deterministic: bool):
+        rngs = {"dropout": rng}
+        return self.model.apply(
+            {"params": params},
+            **_model_kwargs(batch, self.hp),
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+
+    # ---- steps -----------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(
+        self, state: TrainState, batch: Dict[str, Any], rng
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def loss_fn(params):
+            ret = self._forward(params, batch, rng, deterministic=False)
+            losses = self.compute_losses(ret, batch)
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        losses["total_loss"] = total
+        losses["grad_norm"] = optax_global_norm(grads)
+        return state, losses
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def val_step(self, state: TrainState, batch: Dict[str, Any], rng):
+        ret = self._forward(state.params, batch, rng, deterministic=True)
+        losses = self.compute_losses(ret, batch)
+        losses["total_loss"] = sum(losses.values())
+        return losses
+
+    # ---- inference -------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer_step(self, params, batch: Dict[str, Any], rng):
+        kwargs = _model_kwargs(batch, self.hp)
+        kwargs["mel2ph"] = None
+        kwargs["f0"] = None
+        kwargs["uv"] = None
+        kwargs["ref_mels"] = None
+        return self.model.apply(
+            {"params": params}, **kwargs, infer=True,
+            max_frames=batch["mels"].shape[1], rngs={"diffusion": rng},
+        )
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
+
+
+class DiffSingerMIDITask(AuxDecoderMIDITask):
+    """Shallow-diffusion stage over the MIDI fs2 conditioner."""
+
+    schedule = "step"
+
+    def __init__(self, hp: HParams, vocab_size: int, freeze_fs2: bool = False):
+        self.freeze_fs2 = freeze_fs2
+        super().__init__(hp, vocab_size)
+
+    def build_model(self):
+        return GaussianDiffusion(
+            hp=self.hp, vocab_size=self.vocab_size,
+            out_dims=self.hp["audio_num_mel_bins"],
+        )
+
+    def init_state(self, rng, batch: Dict[str, Any]) -> TrainState:
+        variables = self.model.init(
+            {"params": rng},
+            **_model_kwargs(batch, self.hp),
+            method=GaussianDiffusion.init_path,
+        )
+        params = variables["params"]
+        if self.freeze_fs2:
+            # DiffSpeech policy: only '*predictor*' fs2 params train
+            # (`usr/diffspeech_task.py:37-39`)
+            mask = predictor_only_mask(params)
+            self.tx = build_optimizer(self.hp, schedule=self.schedule, trainable_mask=mask)
+        return TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+
+    def _curriculum(self, batch: Dict[str, Any], step: Optional[int]) -> Dict[str, Any]:
+        """switch_midi2f0_step: past N updates, stop feeding gt f0/uv
+        (`usr/diffsinger_task.py:391-399`). Python-level branch — two
+        compiled variants."""
+        hp = self.hp
+        sw = hp.get("switch_midi2f0_step")
+        if sw is not None and step is not None and step > sw:
+            batch = dict(batch)
+            batch["f0"] = None
+            batch["uv"] = None
+        return batch
+
+    def _forward(self, params, batch, rng, deterministic: bool):
+        rng_drop, rng_diff = jax.random.split(rng)
+        return self.model.apply(
+            {"params": params},
+            **_model_kwargs(batch, self.hp),
+            deterministic=deterministic,
+            rng=rng_diff,
+            rngs={"dropout": rng_drop, "diffusion": rng_diff},
+        )
+
+    def compute_losses(self, ret, batch):
+        hp = self.hp
+        losses: Dict[str, jnp.ndarray] = {}
+        losses["mel"] = ret["diff_loss"]
+        L.add_dur_loss_midi(
+            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch["word_boundary"],
+            losses, hp,
+        )
+        if hp["use_pitch_embed"]:
+            L.add_pitch_loss(ret, batch, losses, hp)
+        if hp["use_energy_embed"]:
+            L.add_energy_loss(ret["energy_pred"], batch["energy"], losses, hp)
+        return losses
+
+    def warm_start_fs2(self, state: TrainState, fs2_params) -> TrainState:
+        """Load the FFT-Singer checkpoint into model.fs2 (reference
+        `usr/diffsinger_task.py:64-65`)."""
+        from bisinger_tpu.training.checkpoints import load_params_into
+
+        params = dict(state.params)
+        params["fs2"] = load_params_into(state.params["fs2"], fs2_params)
+        return state.replace(params=params)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer_step(self, params, batch: Dict[str, Any], rng):
+        kwargs = _model_kwargs(batch, self.hp)
+        kwargs["f0"] = None
+        kwargs["uv"] = None
+        kwargs["ref_mels"] = None
+        return self.model.apply(
+            {"params": params}, **kwargs, infer=True, rng=rng,
+            rngs={"diffusion": rng},
+        )
+
+
+class PitchExtractionTask:
+    """PE training: mel -> (f0, uv) (`tasks/tts/pe.py:103-157`)."""
+
+    def __init__(self, hp: HParams):
+        self.hp = hp
+        self.model = PitchExtractor(hp=hp)
+        self.tx = build_optimizer(hp, schedule="rsqrt")
+
+    def init_state(self, rng, batch) -> TrainState:
+        variables = self.model.init({"params": rng}, batch["mels"])
+        return TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+        )
+
+    def compute_losses(self, ret, batch):
+        hp = self.hp
+        losses: Dict[str, jnp.ndarray] = {}
+        nonpadding = (batch["mel2ph"] != 0).astype(jnp.float32)
+        L.add_f0_loss(
+            ret["pitch_pred"], batch["f0"], batch["uv"], nonpadding, losses, hp
+        )
+        return losses
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch, rng):
+        def loss_fn(params):
+            ret = self.model.apply(
+                {"params": params}, batch["mels"], deterministic=False,
+                rngs={"dropout": rng},
+            )
+            losses = self.compute_losses(ret, batch)
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        losses["total_loss"] = total
+        return state, losses
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def val_step(self, state: TrainState, batch, rng):
+        ret = self.model.apply({"params": state.params}, batch["mels"])
+        losses = self.compute_losses(ret, batch)
+        losses["total_loss"] = sum(losses.values())
+        return losses
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer_step(self, params, mels):
+        return self.model.apply({"params": params}, mels)

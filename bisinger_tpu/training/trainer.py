@@ -1,0 +1,203 @@
+"""Training loop: the framework's runtime.
+
+Replaces the reference's mini-Lightning (`utils/pl_utils.py:353-1619`)
+with a compact SPMD loop:
+
+  - one jitted train step (XLA emits the data-parallel all-reduce from
+    the mesh shardings); host loop only feeds batches and logs;
+  - sanity validation before training (`num_sanity_val_steps`),
+    validation every `val_check_interval` updates, keep-N + best
+    checkpoints (orbax), resume-from-latest on start;
+  - rank-0-only logging; scalars to stdout + optional TensorBoard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from bisinger_tpu.config import HParams
+from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+from bisinger_tpu.parallel import make_mesh, replicate_sharding, shard_batch
+from bisinger_tpu.training.checkpoints import CheckpointManager
+from bisinger_tpu.utils.text_encoder import build_phone_encoder
+
+_NON_ARRAY_KEYS = ("item_names", "ids", "nsamples")
+
+
+def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Strip host-only fields so the batch is a pure array pytree."""
+    return {k: v for k, v in batch.items() if k not in _NON_ARRAY_KEYS}
+
+
+class MeterDict:
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def update(self, metrics: Dict[str, Any], n: int = 1):
+        for k, v in metrics.items():
+            v = float(v)
+            if not np.isfinite(v):
+                continue
+            self.sums[k] = self.sums.get(k, 0.0) + v * n
+            self.counts[k] = self.counts.get(k, 0) + n
+
+    def averages(self) -> Dict[str, float]:
+        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+
+
+class Trainer:
+    def __init__(self, task, hp: HParams, work_dir: Optional[str] = None):
+        self.task = task
+        self.hp = hp
+        self.work_dir = work_dir or hp.get("work_dir") or "checkpoints/default"
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.mesh = make_mesh(
+            num_data=hp["mesh_shape"].get("data", -1),
+            num_model=hp["mesh_shape"].get("model", 1),
+        )
+        self.ckpt = CheckpointManager(
+            os.path.join(self.work_dir, "ckpt"),
+            max_to_keep=hp["num_ckpt_keep"],
+            save_best=hp.get("save_best", False),
+        )
+        self.global_step = 0
+        self.is_main = jax.process_index() == 0
+        self._tb = None
+        # persist the resolved config (reference hparams.py:98-101)
+        if self.is_main:
+            with open(os.path.join(self.work_dir, "config.json"), "w") as f:
+                json.dump(hp.to_dict(), f, indent=2, default=str)
+
+    # ---- logging ---------------------------------------------------------
+    def _tb_writer(self):
+        if self._tb is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(self.work_dir, "tb"))
+            except Exception:
+                self._tb = False
+        return self._tb or None
+
+    def log(self, metrics: Dict[str, float], prefix: str = "tr"):
+        if not self.is_main:
+            return
+        msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        print(f"| step {self.global_step} [{prefix}] {msg}", flush=True)
+        tb = self._tb_writer()
+        if tb:
+            for k, v in metrics.items():
+                tb.add_scalar(f"{prefix}/{k}", v, self.global_step)
+
+    # ---- data ------------------------------------------------------------
+    def build_dataloaders(self):
+        hp = self.hp
+        train_ds = M4SingerDataset(hp, hp["train_set_name"], shuffle=True)
+        valid_ds = M4SingerDataset(hp, hp["valid_set_name"], shuffle=False)
+        n_data = self.mesh.shape["data"]
+        train_dl = DataLoader(
+            train_ds, hp, shuffle=True, endless=True,
+            batch_multiple=n_data,
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
+        )
+        valid_dl = DataLoader(
+            valid_ds, hp, shuffle=False,
+            max_tokens=hp["max_eval_tokens"] if hp["max_eval_tokens"] > 0 else hp["max_tokens"],
+            max_sentences=max(hp["max_eval_sentences"], 1)
+            if hp["max_eval_sentences"] > 0 else n_data,
+            batch_multiple=n_data,
+        )
+        return train_dl, valid_dl
+
+    # ---- loop ------------------------------------------------------------
+    def fit(self, max_updates: Optional[int] = None):
+        hp = self.hp
+        max_updates = max_updates or hp["max_updates"]
+        train_dl, valid_dl = self.build_dataloaders()
+        train_iter = iter(train_dl)
+
+        rng = jax.random.PRNGKey(hp["seed"])
+        first_batch = device_batch(next(train_iter))
+        with self.mesh:
+            rng, init_rng = jax.random.split(rng)
+            state = self.task.init_state(init_rng, shard_batch(first_batch, self.mesh))
+
+            # resume
+            restored = self.ckpt.restore(jax.device_get(state))
+            if restored is not None:
+                state = restored
+                self.global_step = int(state.step)
+                print(f"| resumed from step {self.global_step}", flush=True)
+            # replicate model/opt state across the mesh
+            state = jax.device_put(state, replicate_sharding(self.mesh))
+
+            # sanity validation
+            if hp["num_sanity_val_steps"] > 0 and self.global_step == 0:
+                self._run_validation(state, valid_dl, limit=hp["num_sanity_val_steps"], rng=rng)
+
+            meter = MeterDict()
+            t0 = time.time()
+            pending = first_batch if self.global_step == 0 else None
+            while self.global_step < max_updates:
+                if pending is not None:
+                    batch = pending
+                    pending = None
+                else:
+                    batch = device_batch(next(train_iter))
+                batch = self._pre_step(batch)
+                batch = shard_batch(batch, self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = self.task.train_step(state, batch, step_rng)
+                self.global_step += 1
+                meter.update(jax.device_get(metrics))
+
+                if self.global_step % hp["log_interval"] == 0:
+                    avg = meter.averages()
+                    avg["steps_per_s"] = hp["log_interval"] / (time.time() - t0)
+                    self.log(avg, "tr")
+                    meter = MeterDict()
+                    t0 = time.time()
+
+                if self.global_step % hp["val_check_interval"] == 0:
+                    val_loss = self._run_validation(state, valid_dl, rng=rng)
+                    if hp.get("save_ckpt", True):
+                        self.ckpt.save(
+                            self.global_step, jax.device_get(state),
+                            metrics={"val_loss": val_loss},
+                        )
+            # final checkpoint
+            if hp.get("save_ckpt", True):
+                val_loss = self._run_validation(state, valid_dl, rng=rng)
+                self.ckpt.save(
+                    self.global_step, jax.device_get(state),
+                    metrics={"val_loss": val_loss},
+                )
+        return state
+
+    def _pre_step(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        curriculum = getattr(self.task, "_curriculum", None)
+        if curriculum is not None:
+            batch = curriculum(batch, self.global_step)
+        return batch
+
+    def _run_validation(self, state, valid_dl, limit: Optional[int] = None, rng=None) -> float:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        meter = MeterDict()
+        for i, batch in enumerate(valid_dl):
+            if limit is not None and i >= limit:
+                break
+            batch = device_batch(batch)
+            batch = self._pre_step(batch)
+            n = batch["txt_tokens"].shape[0]
+            losses = self.task.val_step(state, shard_batch(batch, self.mesh), rng)
+            meter.update(jax.device_get(losses), n)
+        avg = meter.averages()
+        self.log(avg, "val")
+        return avg.get("total_loss", float("inf"))

@@ -65,7 +65,9 @@ class TokenTextEncoder:
             tokens = [
                 t if t in self._token_to_id else self._replace_oov for t in tokens
             ]
-        return [self._token_to_id[t] for t in tokens]
+        # unknown tokens (incl. a replace_oov symbol absent from the vocab)
+        # fall back to <UNK>
+        return [self._token_to_id.get(t, self.unk_index) for t in tokens]
 
     def decode(self, ids: Sequence[int], strip_eos: bool = False, strip_padding: bool = False) -> str:
         ids = list(ids)

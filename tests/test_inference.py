@@ -1,0 +1,118 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from bisinger_tpu.config import load_hparams
+from bisinger_tpu.data.binarizer import M4SingerBinarizer
+from bisinger_tpu.data.synthetic import make_synthetic_corpus
+from bisinger_tpu.inference.pipeline import SVSInfer
+from bisinger_tpu.training.tasks import DiffSingerMIDITask, PitchExtractionTask
+from bisinger_tpu.utils.text_encoder import build_phone_encoder
+from bisinger_tpu.vocoders.hifigan import HifiGAN
+from bisinger_tpu.vocoders.base_vocoder import get_vocoder_cls
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    raw = str(root / "raw")
+    make_synthetic_corpus(raw, n_items=6, seed=0)
+    hp = load_hparams(
+        overrides=dict(
+            raw_data_dir=raw,
+            raw_json_fn="meta.json",
+            binary_data_dir=str(root / "binary"),
+            num_spk=4,
+            test_prefixes=["Alto-1#song0"],
+            pitch_extractor="autocorr",
+            hidden_size=16,
+            enc_layers=1,
+            dec_layers=1,
+            enc_ffn_kernel_size=3,
+            dec_ffn_kernel_size=3,
+            residual_layers=2,
+            residual_channels=16,
+            timesteps=4,
+            K_step=4,
+            pndm_speedup=2,
+            predictor_layers=2,
+            dur_predictor_layers=2,
+            use_pitch_embed=False,
+            bucket_tokens=[32],
+            bucket_frames=[128],
+            max_frames=128,
+            max_words=32,
+            upsample_rates=[4, 4, 4, 2],
+            upsample_kernel_sizes=[8, 8, 8, 4],
+            upsample_initial_channel=16,
+        )
+    )
+    M4SingerBinarizer(hp).process()
+    return hp
+
+
+class TestVocoderRegistry:
+    def test_lookup(self, env):
+        cls = get_vocoder_cls(env)
+        assert cls is HifiGAN
+
+
+class TestEndToEnd:
+    def test_score_to_wav(self, env):
+        hp = env
+        enc = build_phone_encoder(hp["binary_data_dir"])
+        # untrained params: checks the full pipeline plumbing
+        task = DiffSingerMIDITask(hp, enc.vocab_size)
+        dummy = SVSInfer(hp)._dummy_batch()
+        state = task.init_state(jax.random.PRNGKey(0), dummy)
+
+        pe_task = PitchExtractionTask(hp)
+        pe_state = pe_task.init_state(jax.random.PRNGKey(1), dummy)
+
+        vocoder = HifiGAN(hp)
+
+        infer = SVSInfer(
+            hp,
+            diffusion_params=state.params,
+            pe_params=pe_state.params,
+            vocoder=vocoder,
+        )
+        inp = {
+            "text": "SP wo xi huan ni",
+            "notes": "rest | C4 | D4 | E4 | F4 G4",
+            "notes_duration": "0.1 | 0.2 | 0.2 | 0.2 | 0.2 0.1",
+            "spk_name": "Alto-1",
+        }
+        wav = infer.infer_once(inp)
+        assert wav.ndim == 1
+        # untrained duration predictor may emit very short durations; the
+        # pipeline must still produce a valid waveform (>= 1 frame of audio)
+        assert len(wav) >= 64
+        assert np.isfinite(wav).all()
+        assert np.abs(wav).max() <= 1.0  # tanh output
+
+    def test_infer_from_json(self, env, tmp_path):
+        hp = env
+        enc = build_phone_encoder(hp["binary_data_dir"])
+        task = DiffSingerMIDITask(hp, enc.vocab_size)
+        dummy = SVSInfer(hp)._dummy_batch()
+        state = task.init_state(jax.random.PRNGKey(0), dummy)
+        infer = SVSInfer(hp, diffusion_params=state.params, vocoder=HifiGAN(hp))
+        import json
+
+        scores = [
+            {
+                "item_name": "demo0",
+                "text": "wo ni",
+                "notes": "C4 | D4",
+                "notes_duration": "0.2 | 0.2",
+            }
+        ]
+        json_fn = str(tmp_path / "scores.json")
+        with open(json_fn, "w") as f:
+            json.dump(scores, f)
+        out = infer.infer_from_json(json_fn, str(tmp_path / "out"))
+        assert len(out) == 1
+        assert os.path.exists(out[0])

@@ -1,0 +1,218 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from bisinger_tpu.config import load_hparams
+from bisinger_tpu.data.binarizer import M4SingerBinarizer
+from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+from bisinger_tpu.data.synthetic import make_synthetic_corpus
+from bisinger_tpu.training.losses import (
+    add_dur_loss_midi,
+    mel_l1_loss,
+    mel_ssim_loss,
+    parse_mel_loss_spec,
+)
+from bisinger_tpu.training.optim import predictor_only_mask, rsqrt_schedule, step_decay_schedule
+from bisinger_tpu.training.tasks import (
+    AuxDecoderMIDITask,
+    DiffSingerMIDITask,
+    PitchExtractionTask,
+)
+from bisinger_tpu.training.trainer import Trainer
+from bisinger_tpu.utils.text_encoder import build_phone_encoder
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    raw = str(root / "raw")
+    make_synthetic_corpus(raw, n_items=10, seed=0)
+    hp = load_hparams(
+        overrides=dict(
+            raw_data_dir=raw,
+            raw_json_fn="meta.json",
+            binary_data_dir=str(root / "binary"),
+            work_dir=str(root / "work"),
+            num_spk=4,
+            test_prefixes=["Alto-1#song0"],
+            pitch_extractor="autocorr",
+            hidden_size=16,
+            enc_layers=1,
+            dec_layers=1,
+            enc_ffn_kernel_size=3,
+            dec_ffn_kernel_size=3,
+            residual_layers=2,
+            residual_channels=16,
+            timesteps=4,
+            K_step=4,
+            predictor_layers=2,
+            dur_predictor_layers=2,
+            use_pitch_embed=False,
+            bucket_tokens=[32],
+            bucket_frames=[256],
+            max_tokens=4000,
+            max_sentences=8,
+            max_words=32,
+            log_interval=2,
+            val_check_interval=4,
+            num_sanity_val_steps=1,
+            num_ckpt_keep=2,
+            warmup_updates=2,
+            lr=1e-3,
+            clip_grad_norm=1.0,
+        )
+    )
+    M4SingerBinarizer(hp).process()
+    return hp
+
+
+class TestSchedules:
+    def test_rsqrt(self):
+        hp = load_hparams(overrides=dict(lr=1.0, warmup_updates=100, hidden_size=256))
+        s = rsqrt_schedule(hp)
+        assert float(s(1)) < float(s(100))
+        assert float(s(100)) > float(s(10000))  # decays after warmup
+        np.testing.assert_allclose(
+            float(s(100)), 1.0 * (100 ** -0.5) * (256 ** -0.5), rtol=1e-6
+        )
+
+    def test_step_decay(self):
+        hp = load_hparams(overrides=dict(lr=1.0, decay_steps=10))
+        s = step_decay_schedule(hp)
+        assert float(s(5)) == 1.0
+        assert float(s(15)) == 0.5
+        assert float(s(25)) == 0.25
+
+
+class TestLosses:
+    def test_parse_mel_loss_spec(self):
+        assert parse_mel_loss_spec("l1:0.5|ssim:0.5") == {"l1": 0.5, "ssim": 0.5}
+        assert parse_mel_loss_spec("l1") == {"l1": 1.0}
+
+    def test_mel_l1_ignores_padding(self):
+        target = jnp.zeros((1, 10, 4)).at[:, :5].set(1.0)
+        out = jnp.zeros((1, 10, 4))
+        # only the 5 nonzero frames count
+        assert float(mel_l1_loss(out, target)) == pytest.approx(1.0)
+
+    def test_ssim_identical_is_zero(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 16).astype(np.float32))
+        assert float(mel_ssim_loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+        y = x + 0.5 * np.random.RandomState(1).rand(1, 32, 16).astype(np.float32)
+        assert float(mel_ssim_loss(y, x)) > 0.01
+
+    def test_dur_loss_zero_when_exact(self):
+        txt = jnp.asarray([[5, 6, 7, 0]])
+        mel2ph = jnp.asarray([[1, 1, 2, 3, 3, 3, 0, 0]])
+        dur_gt = jnp.asarray([[2.0, 1.0, 3.0, 0.0]])
+        dur_pred_log = jnp.log(dur_gt + 1.0)
+        wdb = jnp.asarray([[0, 1, 0, 0]])
+        hp = load_hparams(overrides=dict(max_words=8))
+        losses = {}
+        add_dur_loss_midi(dur_pred_log, mel2ph, txt, wdb, losses, hp)
+        assert float(losses["pdur"]) == pytest.approx(0.0, abs=1e-6)
+        assert float(losses["wdur"]) == pytest.approx(0.0, abs=1e-6)
+        assert float(losses["sdur"]) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestTasks:
+    def _first_batch(self, hp):
+        ds = M4SingerDataset(hp, "train", shuffle=False)
+        dl = DataLoader(ds, hp, shuffle=False)
+        batch = next(iter(dl))
+        return {
+            k: v for k, v in batch.items() if k not in ("item_names", "ids", "nsamples")
+        }
+
+    def test_fs2_task_loss_decreases(self, tiny_env):
+        hp = tiny_env
+        enc = build_phone_encoder(hp["binary_data_dir"])
+        task = AuxDecoderMIDITask(hp, enc.vocab_size)
+        batch = self._first_batch(hp)
+        rng = jax.random.PRNGKey(0)
+        state = task.init_state(rng, batch)
+        first = None
+        for i in range(8):
+            rng, step_rng = jax.random.split(rng)
+            state, losses = task.train_step(state, dict(batch), step_rng)
+            if first is None:
+                first = float(losses["total_loss"])
+        assert np.isfinite(first)
+        assert float(losses["total_loss"]) < first  # learns the tiny batch
+
+    def test_diffusion_task_step(self, tiny_env):
+        hp = tiny_env
+        enc = build_phone_encoder(hp["binary_data_dir"])
+        task = DiffSingerMIDITask(hp, enc.vocab_size)
+        batch = self._first_batch(hp)
+        rng = jax.random.PRNGKey(0)
+        state = task.init_state(rng, batch)
+        state, losses = task.train_step(state, dict(batch), rng)
+        assert np.isfinite(float(losses["mel"]))
+        assert "pdur" in losses and "wdur" in losses
+
+    def test_diffusion_freeze_fs2_mask(self, tiny_env):
+        hp = tiny_env
+        enc = build_phone_encoder(hp["binary_data_dir"])
+        task = DiffSingerMIDITask(hp, enc.vocab_size, freeze_fs2=True)
+        batch = self._first_batch(hp)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        before = jax.device_get(state.params)
+        state, _ = task.train_step(state, dict(batch), jax.random.PRNGKey(1))
+        after = jax.device_get(state.params)
+        # frozen: fs2 encoder token embedding unchanged
+        np.testing.assert_array_equal(
+            before["fs2"]["token_embed"]["embed"]["embedding"],
+            after["fs2"]["token_embed"]["embed"]["embedding"],
+        )
+        # trainable: denoiser weights moved (output_projection is the only
+        # denoiser layer with nonzero grad at step 1 — it is zero-init, so
+        # upstream grads vanish until it moves)
+        assert not np.array_equal(
+            before["denoise_fn"]["output_projection"]["bias"],
+            after["denoise_fn"]["output_projection"]["bias"],
+        )
+        # trainable: fs2 duration predictor moved
+        assert not np.array_equal(
+            before["fs2"]["dur_predictor"]["linear"]["kernel"],
+            after["fs2"]["dur_predictor"]["linear"]["kernel"],
+        )
+
+    def test_predictor_only_mask_shape(self, tiny_env):
+        hp = tiny_env
+        enc = build_phone_encoder(hp["binary_data_dir"])
+        task = DiffSingerMIDITask(hp, enc.vocab_size)
+        batch = self._first_batch(hp)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        mask = predictor_only_mask(state.params)
+        flat = jax.tree_util.tree_leaves(mask)
+        assert any(flat) and not all(flat)
+
+    def test_pe_task_step(self, tiny_env):
+        hp = tiny_env.replace(use_pitch_embed=True, pitch_type="frame")
+        task = PitchExtractionTask(hp)
+        batch = self._first_batch(hp)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state, losses = task.train_step(state, dict(batch), jax.random.PRNGKey(1))
+        assert np.isfinite(float(losses["total_loss"]))
+        assert "f0" in losses and "uv" in losses
+
+
+class TestTrainerLoop:
+    def test_fit_and_resume(self, tiny_env, tmp_path):
+        hp = tiny_env.replace(work_dir=str(tmp_path / "work"))
+        enc = build_phone_encoder(hp["binary_data_dir"])
+        task = AuxDecoderMIDITask(hp, enc.vocab_size)
+        trainer = Trainer(task, hp)
+        state = trainer.fit(max_updates=5)
+        assert int(state.step) == 5
+        assert trainer.ckpt.latest_step() == 5
+        # resume continues from checkpoint
+        task2 = AuxDecoderMIDITask(hp, enc.vocab_size)
+        trainer2 = Trainer(task2, hp)
+        state2 = trainer2.fit(max_updates=7)
+        assert int(state2.step) == 7
