@@ -272,6 +272,19 @@ class M4SingerBinarizer:
                     raise BinarizationError("Empty f0")
                 res["f0"] = f0
                 res["pitch"] = f0_to_coarse_np(f0)
+            if hp["binarization_args"].get("with_f0cwt") and "f0" in res:
+                # per-utterance continuous-log-f0 stats + CWT spectrogram
+                # (reference `base_binarizer.get_f0cwt:210-219`)
+                from bisinger_tpu.utils.cwt import f0_to_cwt_spec, get_cont_lf0
+
+                _, cont_lf0 = get_cont_lf0(res["f0"])
+                lf0_mean, lf0_std = float(np.mean(cont_lf0)), float(np.std(cont_lf0))
+                cwt_spec, _, _ = f0_to_cwt_spec(res["f0"], lf0_mean, lf0_std)
+                if np.any(np.isnan(cwt_spec)):
+                    raise BinarizationError("NaN CWT")
+                res["cwt_spec"] = cwt_spec
+                res["cwt_mean"] = lf0_mean
+                res["cwt_std"] = lf0_std
             phone = encoder.encode(item["ph"])
             if len(phone) == 0:
                 raise BinarizationError("Empty phoneme")

@@ -94,6 +94,10 @@ class M4SingerDataset:
         for key in ("pitch_midi", "midi_dur", "is_slur", "word_boundary", "lang"):
             if key in item:
                 sample[key] = np.asarray(item[key])
+        if hp.get("pitch_type") == "cwt" and "cwt_spec" in item:
+            sample["cwt_spec"] = item["cwt_spec"][:t].astype(np.float32)
+            sample["f0_mean"] = float(item["cwt_mean"])
+            sample["f0_std"] = float(item["cwt_std"])
         if "speechsing" in item:
             ss = np.asarray(item["speechsing"]).reshape(-1)
             sample["speechsing"] = int(ss[0])
@@ -178,6 +182,10 @@ def collate_batch(
         batch["midi_dur"] = pad_1d(
             [s["midi_dur"] for s in samples], t_txt
         ).astype(np.float32)
+    if "cwt_spec" in samples[0]:
+        batch["cwt_spec"] = pad_2d([s["cwt_spec"] for s in samples], t_mel)
+        batch["f0_mean"] = np.asarray([s["f0_mean"] for s in samples], np.float32)
+        batch["f0_std"] = np.asarray([s["f0_std"] for s in samples], np.float32)
     if "speechsing" in samples[0]:
         batch["speechsing"] = np.asarray(
             [s["speechsing"] for s in samples], dtype=np.int64

@@ -138,3 +138,66 @@ class DiffNet(nn.Module):
         x = self.skip_projection(x)
         x = jax.nn.relu(x)
         return self.output_projection(x)
+
+
+class FFTDenoiser(nn.Module):
+    """Transformer-decoder denoiser — the 'fft' candidate alternative to
+    DiffNet (reference `usr/diff/candidate_decoder.py:39-100`).
+
+    The reference concatenates [x-proj, cond, time-embed] then applies one
+    linear; here that linear is split into three equivalent projections so
+    the cond part is step-invariant and precomputable like DiffNet's."""
+
+    hp: HParams
+    in_dims: int = 80
+
+    def setup(self):
+        from bisinger_tpu.models.common import FFTBlocks
+
+        hp = self.hp
+        dim = hp["residual_channels"]
+        h = hp["hidden_size"]
+        self.input_projection = nn.Conv(
+            dim, (1,), kernel_init=kaiming_normal_conv(), name="input_projection"
+        )
+        self.mlp_0 = nn.Dense(dim * 4, name="mlp_0")
+        self.mlp_1 = nn.Dense(dim, name="mlp_1")
+        # split decode_inp linear: x part (bias carrier), cond part, time part
+        self.decode_x = nn.Dense(h, name="decode_x")
+        self.decode_cond = nn.Dense(h, use_bias=False, name="decode_cond")
+        self.decode_time = nn.Dense(h, use_bias=False, name="decode_time")
+        self.decoder = FFTBlocks(
+            hidden_size=h,
+            num_layers=hp["dec_layers"],
+            ffn_kernel_size=hp["dec_ffn_kernel_size"],
+            num_heads=hp["num_heads"],
+            dropout=hp["dropout"],
+            use_pos_embed=True,
+            padding=hp["ffn_padding"],
+            act=hp["ffn_act"],
+            name="decoder",
+        )
+        self.get_mel_out = nn.Dense(self.in_dims, name="get_mel_out")
+
+    def cond_projections(self, cond):
+        return self.decode_cond(cond)[None]  # [1, B, T, H] for interface parity
+
+    def __call__(self, spec, diffusion_step, cond=None, cond_proj=None):
+        hp = self.hp
+        dim = hp["residual_channels"]
+        if cond_proj is None:
+            assert cond is not None
+            cond_proj = self.cond_projections(cond)
+        x = self.input_projection(spec)  # [B, T, dim]
+        step = self.mlp_0(diffusion_step_embedding(diffusion_step, dim))
+        step = step * jnp.tanh(jax.nn.softplus(step))
+        step = self.mlp_1(step)  # [B, dim]
+        inp = self.decode_x(x) + cond_proj[0] + self.decode_time(step)[:, None, :]
+        out = self.decoder(inp, deterministic=True)
+        return self.get_mel_out(out)
+
+
+DIFF_DECODERS = {
+    "wavenet": DiffNet,
+    "fft": FFTDenoiser,
+}

@@ -28,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from bisinger_tpu.config import HParams
-from bisinger_tpu.models.diffnet import DiffNet
+from bisinger_tpu.models.diffnet import DIFF_DECODERS, DiffNet
 from bisinger_tpu.models.fs2 import FastSpeech2, FastSpeech2MIDI
 
 
@@ -100,7 +100,8 @@ class GaussianDiffusion(nn.Module):
             self.fs2 = FastSpeech2MIDI(hp=hp, vocab_size=self.vocab_size, name="fs2")
         else:
             self.fs2 = FastSpeech2(hp=hp, vocab_size=self.vocab_size, name="fs2")
-        self.denoise_fn = DiffNet(hp=hp, in_dims=self.out_dims, name="denoise_fn")
+        decoder_cls = DIFF_DECODERS[hp.get("diff_decoder_type", "wavenet")]
+        self.denoise_fn = decoder_cls(hp=hp, in_dims=self.out_dims, name="denoise_fn")
         self.buffers = DiffusionBuffers(make_betas(hp))
         self.K_step = hp["K_step"]
         self.loss_type = hp.get("diff_loss_type", "l1")
@@ -337,3 +338,66 @@ class GaussianDiffusion(nn.Module):
         else:
             ret["mel_out"] = x
         return ret
+
+
+class OfflineGaussianDiffusion(GaussianDiffusion):
+    """Variant consuming precomputed fs2 mels from disk
+    (reference `shallow_diffusion_tts.py:288-320`):
+    ref_mels = (gt_mel, fs2_mel); fs2 runs skip_decoder always, training
+    denoises the gt mel, inference starts shallow from the recorded fs2
+    mel."""
+
+    def __call__(
+        self,
+        txt_tokens,
+        mel2ph=None,
+        spk_embed=None,
+        ref_mels=None,
+        f0=None,
+        uv=None,
+        energy=None,
+        infer: bool = False,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        **kwargs,
+    ):
+        hp = self.hp
+        if rng is None:
+            rng = self.make_rng("diffusion")
+        gt_mels, fs2_mels = ref_mels
+        ret = self.fs2(
+            txt_tokens, mel2ph=mel2ph, spk_embed=spk_embed, ref_mels=None,
+            f0=f0, uv=uv, energy=energy, skip_decoder=True, infer=True,
+            deterministic=deterministic, **kwargs,
+        )
+        cond = ret["decoder_inp"]
+        if not infer:
+            rng_t, rng_noise = jax.random.split(rng)
+            b = txt_tokens.shape[0]
+            t = jax.random.randint(rng_t, (b,), 0, self.K_step)
+            x = self.norm_spec(gt_mels)
+            ret["diff_loss"] = self.p_losses(x, t, cond, rng_noise)
+            return ret
+        fs2_mels = self.norm_spec(fs2_mels)
+        k = self.K_step
+        rng_start, rng_loop = jax.random.split(rng)
+        if hp.get("gaussian_start"):
+            x = jax.random.normal(rng_start, fs2_mels.shape, dtype=fs2_mels.dtype)
+        else:
+            noise = jax.random.normal(rng_start, fs2_mels.shape, dtype=fs2_mels.dtype)
+            t_start = jnp.full((fs2_mels.shape[0],), k - 1, dtype=jnp.int32)
+            x = self.q_sample(fs2_mels, t_start, noise)
+        cond_proj = self.denoise_fn.cond_projections(cond)
+        x = self.ddpm_sample_loop(x, cond_proj, k, rng_loop)
+        ret["mel_out"] = self.denorm_spec(x)
+        return ret
+
+
+class PlainGaussianDiffusion(GaussianDiffusion):
+    """DiffSpeech's non-shallow diffusion (reference
+    `usr/diff/diffusion.py:181-334`): always samples from pure noise over
+    the full T steps (K_step is forced to `timesteps`)."""
+
+    def setup(self):
+        super().setup()
+        self.K_step = self.hp["timesteps"]

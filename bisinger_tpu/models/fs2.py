@@ -119,6 +119,24 @@ class FastSpeech2(nn.Module):
                     padding=hp["ffn_padding"],
                     name="pitch_predictor",
                 )
+            elif hp["pitch_type"] == "cwt":
+                # 10-bin CWT spectrogram (+uv) head + (mean, std) stats head
+                # (reference `fs2.py:57-73`)
+                cwt_out_dims = 10 + (1 if hp["use_uv"] else 0)
+                self.cwt_in_proj = nn.Dense(hp["cwt_hidden_size"], name="cwt_in_proj")
+                self.cwt_predictor = PitchPredictor(
+                    n_layers=hp["predictor_layers"],
+                    n_chans=self._predictor_hidden(),
+                    odim=cwt_out_dims,
+                    kernel_size=hp["predictor_kernel"],
+                    dropout=hp["predictor_dropout"],
+                    padding=hp["ffn_padding"],
+                    name="cwt_predictor",
+                )
+                ch = hp["cwt_hidden_size"]
+                self.cwt_stats_0 = nn.Dense(ch, name="cwt_stats_0")
+                self.cwt_stats_1 = nn.Dense(ch, name="cwt_stats_1")
+                self.cwt_stats_2 = nn.Dense(2, name="cwt_stats_2")
             else:
                 raise NotImplementedError(f"pitch_type={hp['pitch_type']}")
         if hp["use_energy_embed"]:
@@ -191,6 +209,25 @@ class FastSpeech2(nn.Module):
             return self.pitch_embed(pitch)
         decoder_inp = grad_scale(decoder_inp, hp["predictor_grad"])
         pitch_padding = mel2ph == 0
+        if hp["pitch_type"] == "cwt":
+            # reference `fs2.py:205-217`
+            cwt_out = self.cwt_predictor(self.cwt_in_proj(decoder_inp))
+            ret["cwt"] = cwt_out
+            stats_h = jax.nn.relu(self.cwt_stats_0(encoder_out[:, 0, :]))
+            stats_h = jax.nn.relu(self.cwt_stats_1(stats_h))
+            stats_out = self.cwt_stats_2(stats_h)  # [B, 2]
+            mean = ret["f0_mean"] = stats_out[:, 0]
+            std = ret["f0_std"] = stats_out[:, 1]
+            cwt_spec = cwt_out[:, :, :10]
+            if f0 is None:
+                std = std * hp["cwt_std_scale"]
+                f0 = self.cwt2f0_norm(cwt_spec, mean, std, mel2ph)
+                if hp["use_uv"]:
+                    uv = (cwt_out[:, :, -1] > 0).astype(jnp.float32)
+            f0_denorm = denorm_f0(f0, uv, hp["pitch_norm"], use_uv=hp["use_uv"])
+            ret["f0_denorm"] = f0_denorm
+            pitch = f0_to_coarse(f0_denorm)
+            return self.pitch_embed(pitch)
         ret["pitch_pred"] = pitch_pred = self.pitch_predictor(decoder_inp)
         if f0 is None:
             f0 = pitch_pred[:, :, 0]
@@ -291,6 +328,15 @@ class FastSpeech2(nn.Module):
 
     def _style_embed(self, kwargs):
         return 0.0  # no style embedding in plain FastSpeech2
+
+    def cwt2f0_norm(self, cwt_spec, mean, std, mel2ph):
+        """CWT spec -> normalized f0 aligned to mel frames (reference
+        `fs2.py:242-247`)."""
+        from bisinger_tpu.utils.cwt import cwt2f0_norm
+
+        return cwt2f0_norm(
+            cwt_spec, mean, std, mel2ph, self.hp["pitch_norm"], self.hp["use_uv"]
+        )
 
 
 class FastSpeech2MIDI(FastSpeech2):

@@ -208,6 +208,28 @@ def add_f0_loss(pitch_pred, f0, uv, nonpadding, losses: Dict, hp: HParams):
 
 
 def add_pitch_loss(output: Dict, sample: Dict, losses: Dict, hp: HParams):
+    if hp["pitch_type"] == "cwt":
+        # reference `tasks/tts/fs2.py:289-320`
+        nonpadding = (sample["mel2ph"] != 0).astype(jnp.float32)
+        cwt_pred = output["cwt"][:, :, :10]
+        cwt_gt = sample["cwt_spec"]
+        if hp["cwt_loss"] == "l1":
+            losses["C"] = jnp.abs(cwt_pred - cwt_gt).mean() * hp["lambda_f0"]
+        elif hp["cwt_loss"] == "l2":
+            losses["C"] = jnp.mean((cwt_pred - cwt_gt) ** 2) * hp["lambda_f0"]
+        if hp["use_uv"]:
+            uv_pred = output["cwt"][:, :, -1]
+            uv_loss = binary_cross_entropy_with_logits(uv_pred, sample["uv"])
+            losses["uv"] = (
+                (uv_loss * nonpadding).sum() / jnp.maximum(nonpadding.sum(), 1.0)
+            ) * hp["lambda_uv"]
+        losses["f0_mean"] = (
+            jnp.abs(output["f0_mean"] - sample["f0_mean"]).mean() * hp["lambda_f0"]
+        )
+        losses["f0_std"] = (
+            jnp.abs(output["f0_std"] - sample["f0_std"]).mean() * hp["lambda_f0"]
+        )
+        return
     if hp["pitch_type"] == "ph":
         nonpadding = (sample["txt_tokens"] != 0).astype(jnp.float32)
         err = jnp.abs(output["pitch_pred"][:, :, 0] - sample["f0"])

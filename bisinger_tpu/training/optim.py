@@ -70,6 +70,11 @@ def build_optimizer(
             optax.masked(optax.set_to_zero(), jax.tree.map(lambda m: not m, trainable_mask)),
             tx,
         )
+    accum = hp.get("accumulate_grad_batches", 1)
+    if accum and accum > 1:
+        # reference GradientAccumulationScheduler (`pl_utils.py:256-280`),
+        # constant-factor form
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
 

@@ -58,6 +58,15 @@ def _model_kwargs(batch: Dict[str, Any], hp: HParams) -> Dict[str, Any]:
             lang=batch.get("lang"),
             speechsing=batch.get("speechsing"),
         )
+    if hp["pitch_type"] == "cwt" and "cwt_spec" in batch:
+        # gt f0 input comes from the recorded CWT spec (reference
+        # `tasks/tts/fs2.py:147-151`)
+        from bisinger_tpu.utils.cwt import cwt2f0_norm
+
+        kwargs["f0"] = cwt2f0_norm(
+            batch["cwt_spec"], batch["f0_mean"], batch["f0_std"], batch["mel2ph"],
+            hp["pitch_norm"], hp["use_uv"],
+        )
     return kwargs
 
 

@@ -1,0 +1,116 @@
+"""Tracing / profiling utilities.
+
+Covers the reference's observability hooks (`utils/__init__.py:223-251`,
+`tasks/tts/fs2.py:624-630`) and adds proper TPU tracing:
+
+  - `Timer`: named wall-clock accumulator context manager (prints totals
+    on demand) — reference `utils.Timer`;
+  - `AudioSecondsCounter`: the audio-seconds/s north-star throughput
+    meter (reference `profile_infer` counter);
+  - `trace`: `jax.profiler` trace context for TensorBoard-viewable
+    device profiles;
+  - `sync`: a hard device sync that works on the axon tunnel platform
+    (fetches a scalar to host — `block_until_ready` can return early
+    there).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x=None) -> None:
+    """Force completion of all queued device work (host fetch)."""
+    if x is None:
+        x = jnp.zeros(())
+    float(jnp.asarray(x).sum())
+
+
+class Timer:
+    """Named wall-clock accumulator (reference `utils.Timer`)."""
+
+    totals: Dict[str, float] = defaultdict(float)
+    counts: Dict[str, int] = defaultdict(int)
+
+    def __init__(self, name: str, enabled: bool = True, device_sync: bool = False):
+        self.name = name
+        self.enabled = enabled
+        self.device_sync = device_sync
+
+    def __enter__(self):
+        if self.enabled:
+            if self.device_sync:
+                sync()
+            self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            if self.device_sync:
+                sync()
+            Timer.totals[self.name] += time.perf_counter() - self.t0
+            Timer.counts[self.name] += 1
+
+    @classmethod
+    def report(cls) -> str:
+        lines = [
+            f"| {name}: {total:.3f}s over {cls.counts[name]} calls"
+            for name, total in sorted(cls.totals.items())
+        ]
+        return "\n".join(lines)
+
+    @classmethod
+    def reset(cls):
+        cls.totals.clear()
+        cls.counts.clear()
+
+
+class AudioSecondsCounter:
+    """Generated-audio throughput meter (reference `profile_infer`
+    accumulator, `tasks/tts/fs2.py:624-630`)."""
+
+    def __init__(self, sample_rate: int):
+        self.sample_rate = sample_rate
+        self.audio_seconds = 0.0
+        self.wall_start: Optional[float] = None
+
+    def start(self):
+        self.wall_start = time.perf_counter()
+        self.audio_seconds = 0.0
+
+    def add_samples(self, n_samples: int):
+        if self.wall_start is None:
+            self.start()
+        self.audio_seconds += n_samples / self.sample_rate
+
+    def add_frames(self, n_frames: int, hop_size: int):
+        self.add_samples(n_frames * hop_size)
+
+    @property
+    def throughput(self) -> float:
+        if self.wall_start is None or self.audio_seconds == 0:
+            return 0.0
+        return self.audio_seconds / (time.perf_counter() - self.wall_start)
+
+    def report(self) -> str:
+        return (
+            f"| generated {self.audio_seconds:.2f}s audio, "
+            f"{self.throughput:.2f} audio-s/s"
+        )
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view in TensorBoard / Perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
