@@ -127,8 +127,10 @@ def _deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any
 
 
 def _resolve_path(path: str, relative_to: Optional[str], search_roots: List[str]) -> str:
-    if path.startswith("./") and relative_to is not None:
-        cand = os.path.join(os.path.dirname(relative_to), path[2:])
+    if not os.path.isabs(path) and relative_to is not None:
+        # resolve against the including file first (reference supports `./`;
+        # we accept any relative path, e.g. `../tts/base.yaml`)
+        cand = os.path.normpath(os.path.join(os.path.dirname(relative_to), path))
         if os.path.exists(cand):
             return cand
     if os.path.isabs(path) and os.path.exists(path):
@@ -144,11 +146,14 @@ def _load_config_file(
     path: str, search_roots: List[str], seen: Optional[set] = None
 ) -> Dict[str, Any]:
     """Depth-first base_config cascade (reference `hparams.py:48-66`)."""
+    # `seen` holds only the ancestors of this file (path-local), so diamond
+    # DAGs (two bases sharing a grand-base) are allowed while true cycles
+    # still raise.
     seen = set() if seen is None else seen
     path = os.path.abspath(path)
     if path in seen:
         raise ValueError(f"config cycle detected at {path}")
-    seen.add(path)
+    seen = seen | {path}
     with open(path) as f:
         cfg = yaml.safe_load(f) or {}
     bases = cfg.pop("base_config", [])

@@ -209,6 +209,12 @@ class M4SingerBinarizer:
     def split_train_test(self) -> Tuple[List[str], List[str]]:
         prefixes = self.hp["test_prefixes"]
         test = [n for n in self.item_names if any(n.startswith(p) for p in prefixes)]
+        if not test and self.item_names:
+            # no prefixes configured: hold out the tail by count, mirroring
+            # the reference's test_num/valid_num split (base_binarizer.py
+            # word_range semantics) so valid/test shards are never empty
+            n_test = max(1, min(self.hp.get("test_num", 100), len(self.item_names) // 5))
+            test = self.item_names[-n_test:]
         test_set = set(test)
         train = [n for n in self.item_names if n not in test_set]
         return train, test

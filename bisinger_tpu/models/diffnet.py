@@ -20,7 +20,7 @@ per-NFE conv FLOPs.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,23 +49,29 @@ class ResidualBlock(nn.Module):
 
     residual_channels: int
     dilation: int
+    dtype: Any = jnp.float32
 
     def setup(self):
         c = self.residual_channels
-        self.diffusion_projection = nn.Dense(c, name="diffusion_projection")
+        self.diffusion_projection = nn.Dense(
+            c, dtype=self.dtype, name="diffusion_projection"
+        )
         self.dilated_conv = nn.Conv(
             2 * c,
             (3,),
             kernel_dilation=self.dilation,
             padding="SAME",
             kernel_init=kaiming_normal_conv(),
+            dtype=self.dtype,
             name="dilated_conv",
         )
         self.conditioner_projection = nn.Conv(
-            2 * c, (1,), kernel_init=kaiming_normal_conv(), name="conditioner_projection"
+            2 * c, (1,), kernel_init=kaiming_normal_conv(), dtype=self.dtype,
+            name="conditioner_projection"
         )
         self.output_projection = nn.Conv(
-            2 * c, (1,), kernel_init=kaiming_normal_conv(), name="output_projection"
+            2 * c, (1,), kernel_init=kaiming_normal_conv(), dtype=self.dtype,
+            name="output_projection"
         )
 
     def cond_proj(self, cond):
@@ -93,24 +99,34 @@ class DiffNet(nn.Module):
     def setup(self):
         hp = self.hp
         c = hp["residual_channels"]
-        self.input_projection = nn.Conv(
-            c, (1,), kernel_init=kaiming_normal_conv(), name="input_projection"
+        dtype = (
+            jnp.bfloat16 if hp.get("compute_dtype") == "bfloat16" else jnp.float32
         )
-        self.mlp_0 = nn.Dense(c * 4, name="mlp_0")
-        self.mlp_1 = nn.Dense(c, name="mlp_1")
+        self.dtype = dtype
+        self.input_projection = nn.Conv(
+            c, (1,), kernel_init=kaiming_normal_conv(), dtype=dtype,
+            name="input_projection"
+        )
+        self.mlp_0 = nn.Dense(c * 4, dtype=dtype, name="mlp_0")
+        self.mlp_1 = nn.Dense(c, dtype=dtype, name="mlp_1")
         self.blocks = [
             ResidualBlock(
                 residual_channels=c,
                 dilation=2 ** (i % hp["dilation_cycle_length"]),
+                dtype=dtype,
                 name=f"res_{i}",
             )
             for i in range(hp["residual_layers"])
         ]
         self.skip_projection = nn.Conv(
-            c, (1,), kernel_init=kaiming_normal_conv(), name="skip_projection"
+            c, (1,), kernel_init=kaiming_normal_conv(), dtype=dtype,
+            name="skip_projection"
         )
+        # final projection emits fp32: the eps-prediction feeds fp32
+        # sampler math
         self.output_projection = nn.Conv(
-            self.in_dims, (1,), kernel_init=nn.initializers.zeros, name="output_projection"
+            self.in_dims, (1,), kernel_init=nn.initializers.zeros,
+            name="output_projection"
         )
 
     def cond_projections(self, cond):

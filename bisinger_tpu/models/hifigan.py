@@ -21,7 +21,7 @@ training task can enable it later if parity demands).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +114,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -125,6 +126,7 @@ class ResBlock1(nn.Module):
                 kernel_dilation=d,
                 padding="SAME",
                 kernel_init=conv_init,
+                dtype=self.dtype,
                 name=f"conv1_{i}",
             )(y)
             y = nn.leaky_relu(y, LRELU_SLOPE)
@@ -133,6 +135,7 @@ class ResBlock1(nn.Module):
                 (self.kernel_size,),
                 padding="SAME",
                 kernel_init=conv_init,
+                dtype=self.dtype,
                 name=f"conv2_{i}",
             )(y)
             x = x + y
@@ -145,6 +148,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -156,6 +160,7 @@ class ResBlock2(nn.Module):
                 kernel_dilation=d,
                 padding="SAME",
                 kernel_init=conv_init,
+                dtype=self.dtype,
                 name=f"conv_{i}",
             )(y)
             x = x + y
@@ -178,6 +183,7 @@ class HifiGanGenerator(nn.Module):
         rd = [tuple(d) for d in hp["resblock_dilation_sizes"]]
         c0 = hp["upsample_initial_channel"]
         resblock = ResBlock1 if str(hp.get("resblock", "1")) == "1" else ResBlock2
+        dtype = jnp.bfloat16 if hp.get("compute_dtype") == "bfloat16" else jnp.float32
         use_nsf = f0 is not None and hp.get("use_pitch_embed", True)
 
         if use_nsf:
@@ -190,7 +196,7 @@ class HifiGanGenerator(nn.Module):
                 sample_rate=hp["audio_sample_rate"], harmonic_num=8, name="m_source"
             )(f0_up, rng)  # [B, T*hop, 1]
 
-        x = nn.Conv(c0, (7,), padding="SAME", name="conv_pre")(mel)
+        x = nn.Conv(c0, (7,), padding="SAME", dtype=dtype, name="conv_pre")(mel)
         for i, (u, k) in enumerate(zip(rates, kernels)):
             c_cur = c0 // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
@@ -202,6 +208,7 @@ class HifiGanGenerator(nn.Module):
                 strides=(u,),
                 padding="SAME",
                 kernel_init=conv_init,
+                dtype=dtype,
                 name=f"up_{i}",
             )(x)
             if use_nsf:
@@ -212,21 +219,24 @@ class HifiGanGenerator(nn.Module):
                         (stride_f0 * 2,),
                         strides=(stride_f0,),
                         padding=[(stride_f0 // 2, stride_f0 // 2)],
+                        dtype=dtype,
                         name=f"noise_conv_{i}",
                     )(har_source)
                 else:
-                    xs = nn.Conv(c_cur, (1,), name=f"noise_conv_{i}")(har_source)
+                    xs = nn.Conv(c_cur, (1,), dtype=dtype, name=f"noise_conv_{i}")(har_source)
                 xs = jax.nn.relu(xs)
                 xs = nn.LayerNorm(name=f"noise_norm_{i}")(xs)
                 x = x + xs[:, : x.shape[1]]
             mrf = 0.0
             for j, (ksz, dil) in enumerate(zip(rk, rd)):
                 mrf = mrf + resblock(
-                    channels=c_cur, kernel_size=ksz, dilations=dil, name=f"res_{i}_{j}"
+                    channels=c_cur, kernel_size=ksz, dilations=dil, dtype=dtype,
+                    name=f"res_{i}_{j}"
                 )(x)
             x = mrf / len(rk)
         x = nn.leaky_relu(x)
-        x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=conv_init, name="conv_post")(x)
+        x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=conv_init,
+                    name="conv_post")(x.astype(jnp.float32))
         x = jnp.tanh(x)
         return x[..., 0] if self.c_out == 1 else x
 

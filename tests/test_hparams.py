@@ -56,3 +56,31 @@ def test_cycle_detection(tmp_path):
     (tmp_path / "b.yaml").write_text("base_config: ./a.yaml\n")
     with pytest.raises(ValueError):
         load_hparams(str(tmp_path / "a.yaml"), base={})
+
+
+def test_shipped_config_tree():
+    """Every shipped experiment config resolves through its base_config
+    chain to a complete HParams tree."""
+    import glob
+    import os
+
+    from bisinger_tpu.config import load_hparams
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "**", "*.yaml"), recursive=True))
+    assert len(paths) >= 10
+    for p in paths:
+        hp = load_hparams(p)
+        assert hp["audio_num_mel_bins"] == 80, p
+
+    flagship = load_hparams(
+        os.path.join(root, "usr", "m4-detect-ori-shift", "diff.yaml")
+    )
+    # diff.yaml < base.yaml < singing/fs2.yaml < tts/fs2.yaml < tts/base.yaml
+    # < config_base.yaml, with child-overrides-parent at every level
+    assert flagship["task_cls"].endswith("DiffSingerMIDITask")
+    assert flagship["hop_size"] == 128  # singing/base overrides tts/base 256
+    assert flagship["audio_sample_rate"] == 24000
+    assert flagship["K_step"] == 1000 and flagship["pndm_speedup"] == 5
+    assert flagship["num_spk"] == 21
+    assert flagship["mel_loss"] == "l1:0.5|ssim:0.5"  # inherited from tts/fs2
