@@ -327,10 +327,15 @@ class M4SingerBinarizer:
 
     def process_split(self, prefix, names, encoder, spk_map):
         hp = self.hp
+        from bisinger_tpu.utils.multiprocess import chunked_multiprocess_run
+
         lengths, f0s = [], []
+        args = [(self.items[name], encoder, spk_map) for name in names]
+        n_proc = int(os.environ.get("N_PROC", 1))
         with RecordWriter(os.path.join(hp["binary_data_dir"], prefix)) as writer:
-            for name in names:
-                res = self.process_item(self.items[name], encoder, spk_map)
+            for res in chunked_multiprocess_run(
+                self.process_item, args, num_workers=n_proc
+            ):
                 if res is None:
                     continue
                 writer.add_item(res)

@@ -72,7 +72,12 @@ class HifiGAN(BaseVocoder):
             wav = self._forward(self.params, mel, jnp.asarray(f0)[None], rng)
         else:
             wav = self._forward_no_f0(self.params, mel)
-        return np.asarray(wav[0], dtype=np.float32)
+        out = np.asarray(wav[0], dtype=np.float32)
+        if self.hp.get("use_denoise"):
+            from bisinger_tpu.vocoders.vocoder_utils import denoise
+
+            out = denoise(out, v=float(self.hp.get("denoise_v", 0.002)), hp=self.hp)
+        return out
 
     # ---- feature extraction ----------------------------------------------
     @staticmethod

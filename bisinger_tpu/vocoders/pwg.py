@@ -55,3 +55,12 @@ class PWG(BaseVocoder):
             fmax=hp["fmax"],
             eps=float(hp.get("wav2spec_eps", 1e-6)),
         )
+
+    @staticmethod
+    def wav2mfcc(wav_fn, hp: HParams):
+        """wav -> [T, 39] MFCC+deltas (reference `PWG.wav2mfcc:126-139`)."""
+        from bisinger_tpu.data.binarizer import load_wav
+        from bisinger_tpu.vocoders.vocoder_utils import wav2mfcc
+
+        wav = load_wav(wav_fn, hp["audio_sample_rate"]) if isinstance(wav_fn, str) else wav_fn
+        return wav2mfcc(wav, hp)

@@ -1,0 +1,106 @@
+"""Corpus-adaptation tools (reference utils/get_meta_m4_avg.py,
+merge_jsons.py, pitch_shift.py)."""
+
+import json
+
+import pytest
+
+from bisinger_tpu.tools.merge import merge_meta_jsons, speechsing_tag
+from bisinger_tpu.tools.meta import convert_m4_item, slur_runs
+from bisinger_tpu.tools.pitch_shift import (
+    CHORDS,
+    chord_f0_per_window,
+    freq_to_midi,
+    group_notes,
+    note_to_freq,
+    shift_item_meta,
+)
+
+
+def _m4_item():
+    # wo(w o) de(d e) with a slur continuation on the second syllable
+    return {
+        "item_name": "Alto-1#song#0000",
+        "txt": "我的",
+        "phs": ["<SP>", "w", "o", "d", "e", "e", "<SP>"],
+        "ph_dur": [0.1, 0.1, 0.3, 0.1, 0.3, 0.2, 0.1],
+        "notes": [0, 60, 60, 62, 62, 64, 0],
+        "notes_dur": [0.1, 0.4, 0.4, 0.4, 0.4, 0.2, 0.1],
+        "is_slur": [0, 0, 0, 0, 0, 1, 0],
+    }
+
+
+def test_slur_runs():
+    assert slur_runs([0, 0, 1, 1, 0]) == [[0], [1, 2, 3], [4]]
+
+
+def test_convert_m4_item():
+    out = convert_m4_item(_m4_item())
+    assert out["lang"] == 1
+    n = len(out["phs"])
+    assert (
+        n == len(out["is_slur"]) == len(out["ph_dur"]) == len(out["notes"])
+        == len(out["notes_dur"]) == len(out["word_boundary"])
+    )
+    # 'o' -> AO (1 phone), 'e' -> ER; total phone count grows only via
+    # multi-phone finals; durations were split evenly per source phone
+    assert abs(sum(out["ph_dur"]) - sum(_m4_item()["ph_dur"])) < 1e-2
+    # slur run (e, e-slur) forms ONE word: exactly one boundary over it
+    assert out["word_boundary"][-1] == 1  # final phone always ends a word
+
+
+def test_speechsing_tags():
+    assert speechsing_tag("db4#cn#001") == 0
+    assert speechsing_tag("db4#cn-shift#001") == 2
+    assert speechsing_tag("Alto-1#song#001") == 1
+
+
+def test_merge(tmp_path):
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps({"item_name": "db4#cn#1"}) + "\n")
+    b.write_text(json.dumps({"item_name": "Alto-1#s#1"}) + "\n")
+    out = tmp_path / "out.json"
+    assert merge_meta_jsons([str(a), str(b)], str(out)) == 2
+    items = [json.loads(l) for l in out.read_text().splitlines()]
+    assert items[0]["speechsing"] == 0 and items[1]["speechsing"] == 1
+
+
+def test_note_freq_midi():
+    assert abs(note_to_freq("A4") - 440.0) < 0.5
+    assert freq_to_midi(440.0) == 69
+    assert freq_to_midi(note_to_freq("C4")) == 60
+    for chord in CHORDS:
+        assert all(f > 0 for f in chord)
+
+
+def test_group_notes():
+    item = _m4_item()
+    unique_dur, rep_count, sp = group_notes(item["notes"], item["notes_dur"], item["ph_dur"])
+    assert sum(rep_count) == len(item["notes"])
+    assert sp[0] == 1 and sp[-1] == 1  # SP windows
+    assert len(unique_dur) == len(rep_count) == len(sp)
+
+
+def test_chord_assignment_skips_sp():
+    f0 = chord_f0_per_window([0.1, 0.4, 0.4, 0.1], [1, 0, 0, 1], [100.0, 200.0])
+    assert f0 == [0.0, 100.0, 200.0, 0.0]
+
+
+def test_shift_item_meta():
+    item = {**_m4_item(), "item_name": "db4#cn#0001"}
+    out, unique_dur, new_f0 = shift_item_meta(item, chord=CHORDS[0])
+    assert out["item_name"] == "db4#cn-shift#0001"
+    assert len(out["notes"]) == len(item["notes"])
+    assert out["notes"][0] == 0  # SP stays unvoiced
+    assert all(n > 0 for n in out["notes"][1:-1])
+
+
+def test_shift_audio_gated():
+    from bisinger_tpu.tools.pitch_shift import shift_item_audio
+    import numpy as np
+
+    try:
+        import pyworld  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="pyworld"):
+            shift_item_audio(np.zeros(2400, np.float32), 24000, [0.1], [220.0])
