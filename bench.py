@@ -40,10 +40,11 @@ def main():
     from bisinger_tpu.training.tasks import DiffSingerMIDITask
     from bisinger_tpu.models.hifigan import HifiGanGenerator
 
-    # production-scale config (reference m4-detect-ori-shift)
-    B = 4
+    # production-scale config (reference m4-detect-ori-shift); batch is
+    # overridable for throughput sweeps
+    B = int(os.environ.get("BENCH_B", 4))
     T_TOKENS = 128
-    T_MEL = 1024  # ~5.46 s per utterance at 24 kHz / hop 128
+    T_MEL = int(os.environ.get("BENCH_T", 1024))  # ~5.46 s at 24 kHz / hop 128
     VOCAB = 64
     hp = load_hparams(
         overrides=dict(
@@ -68,6 +69,7 @@ def main():
             upsample_rates=[8, 4, 2, 2],
             upsample_kernel_sizes=[16, 8, 4, 4],
             upsample_initial_channel=512,
+            diffnet_backend=os.environ.get("BENCH_DIFFNET_BACKEND", "xla"),
         )
     )
 

@@ -134,11 +134,34 @@ class DiffNet(nn.Module):
         utterance: returns [L, B, T, 2C]."""
         return jnp.stack([blk.cond_proj(cond) for blk in self.blocks])
 
+    def _use_pallas(self, spec) -> bool:
+        """Fused-stack kernel eligibility: opt-in flag, bound params
+        (not initializing), lane-aligned channels, tileable T."""
+        if self.hp.get("diffnet_backend", "xla") != "pallas":
+            return False
+        if self.is_initializing():
+            return False
+        c = self.hp["residual_channels"]
+        t = spec.shape[1]
+        return c % 128 == 0 and t % 8 == 0
+
     def __call__(self, spec, diffusion_step, cond=None, cond_proj=None):
         c = self.hp["residual_channels"]
         if cond_proj is None:
             assert cond is not None, "need cond or cond_proj"
             cond_proj = self.cond_projections(cond)
+
+        if self._use_pallas(spec):
+            from bisinger_tpu.ops.diffnet_pallas import diffnet_forward_pallas
+
+            return diffnet_forward_pallas(
+                self.variables["params"],
+                self.hp,
+                spec,
+                diffusion_step,
+                cond_proj,
+                interpret=jax.default_backend() == "cpu",
+            )
 
         x = self.input_projection(spec)
         x = jax.nn.relu(x)

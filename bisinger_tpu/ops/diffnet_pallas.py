@@ -1,0 +1,224 @@
+"""Fused Pallas TPU kernel for the DiffNet residual stack.
+
+The diffusion sampler calls the DiffNet denoiser 200-1000 times per
+utterance (PLMS/DDPM NFE). In the XLA path every residual layer round-
+trips its [B, T, 2C] activations through HBM between the dilated conv,
+the gate, and the 1x1 output projection — ~5 tensors x 20 layers per
+NFE of pure HBM traffic. This kernel keeps the running hidden state `x`
+resident in VMEM across all layers (double-buffered, zero-padded halo
+for the dilated taps) and streams only the per-layer weights and the
+precomputed conditioner projections from HBM, so each NFE reads each
+weight once and never spills activations.
+
+Matches `bisinger_tpu.models.diffnet.DiffNet` (reference DiffNet,
+`usr/diff/net.py:81-130`) numerically: dilated taps at t-d, t, t+d with
+SAME zero padding applied to (x + step_emb), sigmoid(first half) *
+tanh(second half) gating, (x + residual)/sqrt(2) carry, skip sum.
+
+Layout notes (pallas_guide.md): C=256 keeps every matmul lane-aligned
+(last dim 128-multiple); the flattened [B*Tc, C] GEMMs are MXU-shaped;
+weights are fed bf16 with fp32 accumulation (preferred_element_type).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_RSQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def _stack_kernel(
+    # refs streamed per (layer, t-chunk) grid step
+    dil_ref,  # [1, 1] int32 in SMEM: dilation of this layer
+    step_ref,  # [1, B, C] per-layer step embedding (already projected)
+    wd_ref,  # [1, 3, C, 2C] dilated conv weight
+    bd_ref,  # [1, 1, 2C] dilated conv bias
+    wo_ref,  # [1, C, 2C] output projection weight
+    bo_ref,  # [1, 1, 2C] output projection bias
+    cond_ref,  # [1, B, Tc, 2C] conditioner projection chunk
+    x0_ref,  # [B, T, C] initial hidden state (resident)
+    skip_ref,  # out: [B, Tc, C] skip accumulator chunk
+    xbuf,  # scratch: [2, B, T + 2H, C] double-buffered padded hidden
+    *,
+    T: int,
+    Tc: int,
+    H: int,
+    C: int,
+):
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    B = x0_ref.shape[0]
+    t0 = t * Tc
+
+    # ---- first grid step: zero the halo pads, load x0 into the center --
+    @pl.when((l == 0) & (t == 0))
+    def _():
+        xbuf[...] = jnp.zeros(xbuf.shape, xbuf.dtype)
+
+    @pl.when(l == 0)
+    def _():
+        xbuf[0, :, pl.ds(H + t0, Tc), :] = x0_ref[:, pl.ds(t0, Tc), :]
+
+    src = jax.lax.rem(l, 2)
+    dst = jax.lax.rem(l + 1, 2)
+    d = dil_ref[0, 0]
+
+    step = step_ref[0].astype(jnp.float32)  # [B, C]
+
+    # conv input is (x + step); the zero-padded halo must contribute 0,
+    # so mask the step addition where the shifted global index is invalid
+    def tap(shift):
+        xs = xbuf[src, :, pl.ds(H + t0 + shift, Tc), :].astype(jnp.float32)
+        gidx = t0 + shift + jax.lax.broadcasted_iota(jnp.int32, (1, Tc, 1), 1)
+        valid = (gidx >= 0) & (gidx < T)
+        return jnp.where(valid, xs + step[:, None, :], 0.0)
+
+    xm = xbuf[src, :, pl.ds(H + t0, Tc), :].astype(jnp.float32)  # [B,Tc,C]
+
+    wd = wd_ref[0]  # [3, C, 2C]
+    y = jnp.dot(
+        tap(-d).reshape(B * Tc, C), wd[0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    y += jnp.dot(
+        tap(0).reshape(B * Tc, C), wd[1].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    y += jnp.dot(
+        tap(d).reshape(B * Tc, C), wd[2].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    y = y.reshape(B, Tc, 2 * C) + bd_ref[0][None]  # [B, Tc, 2C]
+    y = y + cond_ref[0].astype(jnp.float32)
+
+    gate = jax.nn.sigmoid(y[..., :C])
+    filt = jnp.tanh(y[..., C:])
+    g = (gate * filt).astype(jnp.bfloat16)
+
+    z = jnp.dot(
+        g.reshape(B * Tc, C), wo_ref[0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, Tc, 2 * C) + bo_ref[0][None]
+
+    x_new = (xm + z[..., :C]) * _RSQRT2
+    xbuf[dst, :, pl.ds(H + t0, Tc), :] = x_new.astype(xbuf.dtype)
+
+    @pl.when(l == 0)
+    def _():
+        skip_ref[...] = z[..., C:]
+
+    @pl.when(l > 0)
+    def _():
+        skip_ref[...] += z[..., C:]
+
+
+def fused_residual_stack(
+    x0: jax.Array,  # [B, T, C] fp32/bf16 — after input_projection+relu
+    cond_proj: jax.Array,  # [L, B, T, 2C]
+    step_proj: jax.Array,  # [L, B, C] — per-layer projected step embedding
+    wd: jax.Array,  # [L, 3, C, 2C]
+    bd: jax.Array,  # [L, 2C]
+    wo: jax.Array,  # [L, C, 2C]
+    bo: jax.Array,  # [L, 2C]
+    dilations: Sequence[int],
+    *,
+    t_chunk: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> skip_sum [B, T, C] fp32 (caller divides by sqrt(L))."""
+    B, T, C = x0.shape
+    L = len(dilations)
+    Tc = min(t_chunk, T)
+    while T % Tc != 0:  # largest chunk <= t_chunk that tiles T exactly
+        Tc //= 2
+    assert Tc >= 8, (T, Tc)
+    H = max(max(dilations), 1)
+    n_t = T // Tc
+
+    dils = jnp.asarray(dilations, jnp.int32).reshape(L, 1)
+
+    grid = (L, n_t)
+    out = pl.pallas_call(
+        functools.partial(_stack_kernel, T=T, Tc=Tc, H=H, C=C),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda l, t: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B, C), lambda l, t: (l, 0, 0)),
+            pl.BlockSpec((1, 3, C, 2 * C), lambda l, t: (l, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (l, 0, 0)),
+            pl.BlockSpec((1, C, 2 * C), lambda l, t: (l, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (l, 0, 0)),
+            pl.BlockSpec((1, B, Tc, 2 * C), lambda l, t: (l, 0, t, 0)),
+            pl.BlockSpec((B, T, C), lambda l, t: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, Tc, C), lambda l, t: (0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, T + 2 * H, C), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(
+        dils,
+        step_proj.astype(jnp.bfloat16),
+        wd.astype(jnp.bfloat16),
+        bd.reshape(L, 1, 2 * C).astype(jnp.float32),
+        wo.astype(jnp.bfloat16),
+        bo.reshape(L, 1, 2 * C).astype(jnp.float32),
+        cond_proj.astype(jnp.bfloat16),
+        x0.astype(jnp.bfloat16),
+    )
+    return out
+
+
+def diffnet_forward_pallas(params, hp, spec, t, cond_proj, *, interpret: bool = False):
+    """Full DiffNet forward with the fused stack kernel.
+
+    `params`: the flax param tree of `models.diffnet.DiffNet`;
+    `spec` [B, T, M], `t` [B] int, `cond_proj` [L, B, T, 2C] from
+    `DiffNet.cond_projections`. Inference-only (no custom VJP) — the
+    training path keeps the XLA implementation.
+    """
+    from bisinger_tpu.models.diffnet import diffusion_step_embedding
+
+    C = hp["residual_channels"]
+    L = hp["residual_layers"]
+    cycle = hp["dilation_cycle_length"]
+    dilations = [2 ** (i % cycle) for i in range(L)]
+
+    def dense(name, x):
+        p = params[name]
+        return x @ p["kernel"] + p["bias"]
+
+    def conv1(name, x):
+        p = params[name]
+        return x @ p["kernel"][0] + p["bias"]
+
+    x = jax.nn.relu(conv1("input_projection", spec))  # [B, T, C]
+
+    s = dense("mlp_0", diffusion_step_embedding(t, C))
+    s = s * jnp.tanh(jax.nn.softplus(s))  # Mish
+    s = dense("mlp_1", s)  # [B, C]
+
+    wstep = jnp.stack([params[f"res_{i}"]["diffusion_projection"]["kernel"] for i in range(L)])
+    bstep = jnp.stack([params[f"res_{i}"]["diffusion_projection"]["bias"] for i in range(L)])
+    step_proj = jnp.einsum("bc,lcd->lbd", s, wstep) + bstep[:, None, :]
+
+    wd = jnp.stack([params[f"res_{i}"]["dilated_conv"]["kernel"] for i in range(L)])
+    bd = jnp.stack([params[f"res_{i}"]["dilated_conv"]["bias"] for i in range(L)])
+    wo = jnp.stack([params[f"res_{i}"]["output_projection"]["kernel"][0] for i in range(L)])
+    bo = jnp.stack([params[f"res_{i}"]["output_projection"]["bias"] for i in range(L)])
+
+    skip = fused_residual_stack(
+        x, cond_proj, step_proj, wd, bd, wo, bo, dilations, interpret=interpret
+    )
+    y = skip * (1.0 / math.sqrt(L))
+    y = jax.nn.relu(conv1("skip_projection", y))
+    return conv1("output_projection", y)  # [B, T, M]
