@@ -139,7 +139,7 @@ def main():
             {
                 "metric": "audio_seconds_per_second_per_chip",
                 "value": round(value, 3),
-                "unit": "audio-s/s (B=4, 200-NFE PLMS diffusion + HiFi-GAN NSF)",
+                "unit": f"audio-s/s (B={B}, 200-NFE PLMS diffusion + HiFi-GAN NSF)",
                 "vs_baseline": round(value / 1.0, 3),
             }
         )

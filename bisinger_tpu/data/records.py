@@ -147,11 +147,21 @@ class RecordReader:
     """mmap-backed random-access shard reader (`IndexedDataset`
     counterpart)."""
 
-    def __init__(self, prefix: str):
+    def __init__(self, prefix: str, backend: str = "auto"):
         self.prefix = prefix
         self._offsets = np.load(prefix + ".idx")
         self._data = np.memmap(prefix + ".data", dtype=np.uint8, mode="r")
         self._view = memoryview(self._data)
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from bisinger_tpu.native import open_shard
+
+                self._native = open_shard(prefix)
+            except Exception:
+                self._native = None
+            if backend == "native" and self._native is None:
+                raise RuntimeError("native record codec requested but unavailable")
 
     def __len__(self) -> int:
         return len(self._offsets) - 1
@@ -161,6 +171,8 @@ class RecordReader:
             i += len(self)
         if not 0 <= i < len(self):
             raise IndexError(i)
+        if self._native is not None:
+            return self._native[i]
         return decode_record(self._view, int(self._offsets[i]))
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

@@ -1,0 +1,205 @@
+"""Web demo / serving app for bilingual SVS.
+
+Counterpart of the reference Gradio app
+(`inference/m4singer/gradio/infer.py:14-96`): accepts (lyrics, notes,
+note durations), splits long inputs into chunks at CJK/Latin sentence
+punctuation, synthesizes each chunk, and concatenates the audio.
+
+Implemented on the stdlib http.server (gradio is not in this image; when
+it is installed, `launch_gradio` builds the same UI on it). The JSON API
+doubles as a minimal serving endpoint:
+
+  GET  /            -> HTML demo page
+  GET  /health      -> {"status": "ok"}
+  POST /synthesize  -> body {"text", "notes", "notes_duration",
+                            "spk_name"?, "bpm"?}
+                       response: audio/wav bytes
+
+Synthesis itself stays on the jit-compiled `SVSInfer` pipeline; the
+server only does text chunking + wav encoding on the host.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+# sentence splitting at CJK + Latin punctuation (reference
+# `gradio/infer.py:20-34` splits on CJK punctuation at >=400 chars)
+_SPLIT_RE = re.compile(r"[。！？；.!?;]")
+MAX_CHUNK_CHARS = 400
+
+
+def split_text_chunks(text: str, max_chars: int = MAX_CHUNK_CHARS) -> List[str]:
+    """Split lyrics into synthesizable chunks at sentence punctuation once
+    they exceed `max_chars` (reference behavior for long inputs)."""
+    if len(text) <= max_chars:
+        return [text]
+    parts = [p for p in _SPLIT_RE.split(text) if p.strip()]
+    chunks: List[str] = []
+    cur = ""
+    for p in parts:
+        if cur and len(cur) + len(p) > max_chars:
+            chunks.append(cur)
+            cur = p
+        else:
+            cur = f"{cur} {p}".strip()
+    if cur:
+        chunks.append(cur)
+    return chunks or [text]
+
+
+def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    """float32 [-1,1] -> 16-bit PCM WAV container."""
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
+
+
+_PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>BiSinger-TPU demo</title></head><body>
+<h2>BiSinger-TPU &mdash; bilingual singing voice synthesis</h2>
+<form id="f">
+<p>Lyrics (pinyin / hanzi / English words, AP/SP for breaths):<br>
+<input name="text" size="80" value="SP wo xi huan ni circle"></p>
+<p>Notes (| separates words):<br>
+<input name="notes" size="80" value="rest | C4 | D4 | E4 | F4 | G4 A4"></p>
+<p>Note durations (seconds):<br>
+<input name="notes_duration" size="80"
+ value="0.1 | 0.3 | 0.3 | 0.3 | 0.3 | 0.2 0.2"></p>
+<p>Speaker: <input name="spk_name" value=""></p>
+<button type="submit">Synthesize</button></form>
+<p id="status"></p><audio id="player" controls></audio>
+<script>
+document.getElementById('f').onsubmit = async (e) => {
+  e.preventDefault();
+  const data = Object.fromEntries(new FormData(e.target).entries());
+  document.getElementById('status').textContent = 'synthesizing...';
+  const r = await fetch('/synthesize', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify(data)});
+  if (!r.ok) {
+    document.getElementById('status').textContent = await r.text();
+    return;
+  }
+  const blob = await r.blob();
+  document.getElementById('player').src = URL.createObjectURL(blob);
+  document.getElementById('status').textContent = 'done';
+};
+</script></body></html>"""
+
+
+class SVSRequestHandler(BaseHTTPRequestHandler):
+    infer = None  # class attr set by serve()
+    sample_rate = 24000
+    lock = threading.Lock()  # one TPU program at a time
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._send(200, b'{"status": "ok"}', "application/json")
+        elif self.path == "/":
+            self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def do_POST(self):
+        if self.path != "/synthesize":
+            self._send(404, b"not found", "text/plain")
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            inp = json.loads(self.rfile.read(n) or b"{}")
+            wav = synthesize_chunked(self.infer, inp)
+            self._send(200, wav_bytes(wav, self.sample_rate), "audio/wav")
+        except Exception as e:  # surfacing the error to the UI
+            self._send(400, f"error: {e}".encode(), "text/plain")
+
+
+def synthesize_chunked(infer, inp: Dict[str, Any]) -> np.ndarray:
+    """Synthesize one request, chunking long lyrics (reference
+    `gradio/infer.py:36-60`) and concatenating audio."""
+    text = inp.get("text", "")
+    chunks = split_text_chunks(text)
+    if len(chunks) == 1:
+        return infer.infer_once(inp)
+    wavs = [infer.infer_once({**inp, "text": c}) for c in chunks]
+    return np.concatenate(wavs)
+
+
+def serve(infer, host: str = "127.0.0.1", port: int = 7860) -> ThreadingHTTPServer:
+    """Start the demo server (non-blocking; returns the server object)."""
+    SVSRequestHandler.infer = infer
+    SVSRequestHandler.sample_rate = infer.hp["audio_sample_rate"]
+    httpd = ThreadingHTTPServer((host, port), SVSRequestHandler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd
+
+
+def launch_gradio(infer, **kwargs):  # pragma: no cover - optional dep
+    """Gradio UI when the package is available (reference
+    `gradio/infer.py` + `gradio_settings.yaml`)."""
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise RuntimeError(
+            "gradio is not installed; use bisinger_tpu.inference.server.serve"
+        ) from e
+
+    def run(text, notes, notes_duration, spk_name):
+        wav = synthesize_chunked(
+            infer,
+            dict(text=text, notes=notes, notes_duration=notes_duration, spk_name=spk_name),
+        )
+        return infer.hp["audio_sample_rate"], wav
+
+    demo = gr.Interface(
+        fn=run,
+        inputs=["text", "text", "text", "text"],
+        outputs=gr.Audio(),
+        title="BiSinger-TPU",
+    )
+    return demo.launch(**kwargs)
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+
+    from bisinger_tpu.config import set_hparams
+    from bisinger_tpu.inference.pipeline import SVSInfer
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=7860)
+    args, rest = parser.parse_known_args(argv)
+    hp = set_hparams(rest)
+    infer = SVSInfer.from_work_dir(hp, hp["work_dir"])
+    httpd = serve(infer, args.host, args.port)
+    print(f"| serving on http://{args.host}:{args.port}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,8 +142,10 @@ class DiffNet(nn.Module):
         if self.is_initializing():
             return False
         c = self.hp["residual_channels"]
-        t = spec.shape[1]
-        return c % 128 == 0 and t % 8 == 0
+        b, t = spec.shape[0], spec.shape[1]
+        # VMEM budget: the double-buffered bf16 hidden state must fit
+        # comfortably (~16 MB/core total)
+        return c % 128 == 0 and t % 8 == 0 and b * t * c <= 2 * 1024 * 1024
 
     def __call__(self, spec, diffusion_step, cond=None, cond_proj=None):
         c = self.hp["residual_channels"]

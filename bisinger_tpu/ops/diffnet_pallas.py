@@ -15,9 +15,12 @@ Matches `bisinger_tpu.models.diffnet.DiffNet` (reference DiffNet,
 SAME zero padding applied to (x + step_emb), sigmoid(first half) *
 tanh(second half) gating, (x + residual)/sqrt(2) carry, skip sum.
 
-Layout notes (pallas_guide.md): C=256 keeps every matmul lane-aligned
-(last dim 128-multiple); the flattened [B*Tc, C] GEMMs are MXU-shaped;
-weights are fed bf16 with fp32 accumulation (preferred_element_type).
+Layout notes (pallas_guide.md): C=256 keeps every matmul lane-aligned;
+the flattened [B*Tc, C] GEMMs are MXU-shaped; weights are fed bf16 with
+fp32 accumulation (preferred_element_type). Mosaic requires sublane-dim
+loads at 8-aligned offsets, so each grid step loads ONE aligned
+halo window of the hidden state and takes the +-d taps as *static*
+slices inside a `lax.switch` over the (static) unique dilations.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ _RSQRT2 = 1.0 / math.sqrt(2.0)
 
 def _stack_kernel(
     # refs streamed per (layer, t-chunk) grid step
-    dil_ref,  # [1, 1] int32 in SMEM: dilation of this layer
+    dsel_ref,  # [L, 1] int32 in SMEM: index into `uniq_dils` per layer
     step_ref,  # [1, B, C] per-layer step embedding (already projected)
     wd_ref,  # [1, 3, C, 2C] dilated conv weight
     bd_ref,  # [1, 1, 2C] dilated conv bias
@@ -51,10 +54,10 @@ def _stack_kernel(
     Tc: int,
     H: int,
     C: int,
+    uniq_dils: Sequence[int],
 ):
     l = pl.program_id(0)
     t = pl.program_id(1)
-    n_t = pl.num_programs(1)
     B = x0_ref.shape[0]
     t0 = t * Tc
 
@@ -69,35 +72,50 @@ def _stack_kernel(
 
     src = jax.lax.rem(l, 2)
     dst = jax.lax.rem(l + 1, 2)
-    d = dil_ref[0, 0]
 
     step = step_ref[0].astype(jnp.float32)  # [B, C]
 
-    # conv input is (x + step); the zero-padded halo must contribute 0,
-    # so mask the step addition where the shifted global index is invalid
-    def tap(shift):
-        xs = xbuf[src, :, pl.ds(H + t0 + shift, Tc), :].astype(jnp.float32)
-        gidx = t0 + shift + jax.lax.broadcasted_iota(jnp.int32, (1, Tc, 1), 1)
-        valid = (gidx >= 0) & (gidx < T)
-        return jnp.where(valid, xs + step[:, None, :], 0.0)
-
-    xm = xbuf[src, :, pl.ds(H + t0, Tc), :].astype(jnp.float32)  # [B,Tc,C]
+    # one ALIGNED halo window per step: rows [t0, t0 + Tc + 2H) of the
+    # padded buffer == global frames [t0 - H, t0 + Tc + H)
+    win = xbuf[src, :, pl.ds(t0, Tc + 2 * H), :].astype(jnp.float32)
+    xm = jax.lax.slice_in_dim(win, H, H + Tc, axis=1)  # [B, Tc, C]
 
     wd = wd_ref[0]  # [3, C, 2C]
-    y = jnp.dot(
-        tap(-d).reshape(B * Tc, C), wd[0].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    y += jnp.dot(
-        tap(0).reshape(B * Tc, C), wd[1].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    y += jnp.dot(
-        tap(d).reshape(B * Tc, C), wd[2].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    y = y.reshape(B, Tc, 2 * C) + bd_ref[0][None]  # [B, Tc, 2C]
-    y = y + cond_ref[0].astype(jnp.float32)
+
+    def conv_for(d: int):
+        """Dilated conv with STATIC shift d (zero-padded halo handles
+        interior chunks; mask the step add outside the sequence)."""
+
+        def tap(shift: int):
+            xs = jax.lax.slice_in_dim(win, H + shift, H + shift + Tc, axis=1)
+            gidx = t0 + shift + jax.lax.broadcasted_iota(jnp.int32, (1, Tc, 1), 1)
+            valid = (gidx >= 0) & (gidx < T)
+            return jnp.where(valid, xs + step[:, None, :], 0.0)
+
+        y = jnp.dot(
+            tap(-d).reshape(B * Tc, C).astype(jnp.bfloat16),
+            wd[0].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        y += jnp.dot(
+            tap(0).reshape(B * Tc, C).astype(jnp.bfloat16),
+            wd[1].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        y += jnp.dot(
+            tap(d).reshape(B * Tc, C).astype(jnp.bfloat16),
+            wd[2].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(B, Tc, 2 * C)
+
+    if len(uniq_dils) == 1:
+        y = conv_for(uniq_dils[0])
+    else:
+        y = jax.lax.switch(
+            dsel_ref[l, 0], [functools.partial(conv_for, d) for d in uniq_dils]
+        )
+    y = y + bd_ref[0][None] + cond_ref[0].astype(jnp.float32)
 
     gate = jax.nn.sigmoid(y[..., :C])
     filt = jnp.tanh(y[..., C:])
@@ -140,17 +158,23 @@ def fused_residual_stack(
     while T % Tc != 0:  # largest chunk <= t_chunk that tiles T exactly
         Tc //= 2
     assert Tc >= 8, (T, Tc)
-    H = max(max(dilations), 1)
+    uniq_dils = sorted(set(int(d) for d in dilations))
+    # halo must be 8-aligned so window starts stay aligned
+    H = max((max(uniq_dils) + 7) // 8 * 8, 8)
     n_t = T // Tc
 
-    dils = jnp.asarray(dilations, jnp.int32).reshape(L, 1)
+    dsel = jnp.asarray(
+        [uniq_dils.index(int(d)) for d in dilations], jnp.int32
+    ).reshape(L, 1)
 
     grid = (L, n_t)
     out = pl.pallas_call(
-        functools.partial(_stack_kernel, T=T, Tc=Tc, H=H, C=C),
+        functools.partial(
+            _stack_kernel, T=T, Tc=Tc, H=H, C=C, uniq_dils=uniq_dils
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda l, t: (l, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 1), lambda l, t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, B, C), lambda l, t: (l, 0, 0)),
             pl.BlockSpec((1, 3, C, 2 * C), lambda l, t: (l, 0, 0, 0)),
             pl.BlockSpec((1, 1, 2 * C), lambda l, t: (l, 0, 0)),
@@ -166,7 +190,7 @@ def fused_residual_stack(
         ],
         interpret=interpret,
     )(
-        dils,
+        dsel,
         step_proj.astype(jnp.bfloat16),
         wd.astype(jnp.bfloat16),
         bd.reshape(L, 1, 2 * C).astype(jnp.float32),

@@ -89,3 +89,57 @@ def predictor_only_mask(params) -> Any:
         return (not in_fs2) or has_pred
 
     return jax.tree_util.tree_map_with_path(lambda path, _: decide(path), params)
+
+
+def radam(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Rectified Adam (reference vendors it for PWG training,
+    `modules/parallel_wavegan/optimizers/radam.py`). Falls back to SGD-like
+    unadapted updates while the variance rectification term is
+    undefined (rho_t <= 4), as in the paper."""
+    def init_fn(params):
+        return dict(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state["nu"], updates)
+        t = count.astype(jnp.float32)
+        beta2_t = b2 ** t
+        rho_inf = 2.0 / (1.0 - b2) - 1.0
+        rho_t = rho_inf - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        bc1 = 1.0 - b1 ** t
+        rect = jnp.sqrt(
+            jnp.clip(
+                (rho_t - 4.0) * (rho_t - 2.0) * rho_inf
+                / jnp.maximum((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t, 1e-8),
+                0.0,
+            )
+        )
+        use_adapt = rho_t > 4.0
+
+        def step(m, v):
+            m_hat = m / bc1
+            adapted = rect * m_hat / (jnp.sqrt(v / (1.0 - beta2_t)) + eps)
+            plain = m_hat
+            return jnp.where(use_adapt, adapted, plain)
+
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        new_updates = jax.tree.map(step, mu, nu)
+        if weight_decay:
+            new_updates = jax.tree.map(
+                lambda u, p: u + weight_decay * p, new_updates, params
+            )
+        new_updates = jax.tree.map(lambda u: -lr * u, new_updates)
+        return new_updates, dict(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -206,3 +206,33 @@ class TestPitchExtractor:
         ret = pe.apply(params, mel)
         assert ret["pitch_pred"].shape == (B, T_MEL, 2)
         assert ret["f0_denorm_pred"].shape == (B, T_MEL)
+
+
+def test_melgan_generator_and_discriminator():
+    """MelGAN (reference modules/parallel_wavegan/models/melgan.py):
+    mel -> wav upsampled by prod(scales); MSD returns logits+features
+    per scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.models.melgan import (
+        MelGanGenerator,
+        MelGanMultiScaleDiscriminator,
+    )
+
+    hp = load_hparams(
+        overrides=dict(melgan_upsample_scales=[4, 4, 2, 2], melgan_channels=64)
+    )
+    gen = MelGanGenerator(hp=hp)
+    mel = jnp.zeros((2, 32, 80))
+    params = gen.init(jax.random.PRNGKey(0), mel)["params"]
+    wav = gen.apply({"params": params}, mel)
+    assert wav.shape == (2, 32 * 64)
+
+    msd = MelGanMultiScaleDiscriminator()
+    dparams = msd.init(jax.random.PRNGKey(1), wav)["params"]
+    outs = msd.apply({"params": dparams}, wav)
+    assert len(outs) == 3
+    logits, feats = outs[0]
+    assert logits.ndim == 2 and len(feats) == 6

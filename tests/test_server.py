@@ -1,0 +1,91 @@
+"""Demo/serving app (reference inference/m4singer/gradio/infer.py)."""
+
+import json
+import urllib.request
+
+import numpy as np
+
+from bisinger_tpu.inference.server import (
+    serve,
+    split_text_chunks,
+    synthesize_chunked,
+    wav_bytes,
+)
+
+
+class FakeInfer:
+    hp = {"audio_sample_rate": 24000}
+
+    def infer_once(self, inp):
+        # deterministic length from text so chunk concat is observable
+        return np.zeros(1000 * max(1, len(inp["text"]) // 10), np.float32)
+
+
+def test_split_short_passthrough():
+    assert split_text_chunks("hello world") == ["hello world"]
+
+
+def test_split_long():
+    text = "。".join(["字" * 120] * 5)
+    chunks = split_text_chunks(text, max_chars=300)
+    assert len(chunks) >= 2
+    assert all(len(c) <= 300 for c in chunks)
+    assert sum(len(c.replace(" ", "")) for c in chunks) == 5 * 120
+
+
+def test_wav_bytes_header():
+    b = wav_bytes(np.zeros(100, np.float32), 24000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert len(b) == 44 + 200
+
+
+def test_synthesize_chunked_concats():
+    long_text = "。".join(["a" * 200] * 4)
+    wav = synthesize_chunked(FakeInfer(), {"text": long_text})
+    assert len(wav) > 1000
+
+
+def test_http_roundtrip():
+    httpd = serve(FakeInfer(), host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"BiSinger" in r.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=json.dumps({"text": "la la la"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+            assert r.headers["Content-Type"] == "audio/wav"
+            assert body[:4] == b"RIFF"
+    finally:
+        httpd.shutdown()
+
+
+def test_http_error_surfaced():
+    class Boom:
+        hp = {"audio_sample_rate": 24000}
+
+        def infer_once(self, inp):
+            raise ValueError("word/note mismatch 3 vs 4")
+
+    httpd = serve(Boom(), host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=b'{"text": "x"}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "should raise"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"mismatch" in e.read()
+    finally:
+        httpd.shutdown()
