@@ -42,7 +42,7 @@ def main():
 
     # production-scale config (reference m4-detect-ori-shift); batch is
     # overridable for throughput sweeps
-    B = int(os.environ.get("BENCH_B", 4))
+    B = int(os.environ.get("BENCH_B", 16))
     T_TOKENS = 128
     T_MEL = int(os.environ.get("BENCH_T", 1024))  # ~5.46 s at 24 kHz / hop 128
     VOCAB = 64
@@ -69,7 +69,9 @@ def main():
             upsample_rates=[8, 4, 2, 2],
             upsample_kernel_sizes=[16, 8, 4, 4],
             upsample_initial_channel=512,
-            diffnet_backend=os.environ.get("BENCH_DIFFNET_BACKEND", "xla"),
+            # pallas where eligible (the VMEM guard falls back to XLA for
+            # large B*T automatically)
+            diffnet_backend=os.environ.get("BENCH_DIFFNET_BACKEND", "pallas"),
         )
     )
 

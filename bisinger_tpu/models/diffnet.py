@@ -143,9 +143,10 @@ class DiffNet(nn.Module):
             return False
         c = self.hp["residual_channels"]
         b, t = spec.shape[0], spec.shape[1]
-        # VMEM budget: the double-buffered bf16 hidden state must fit
-        # comfortably (~16 MB/core total)
-        return c % 128 == 0 and t % 8 == 0 and b * t * c <= 2 * 1024 * 1024
+        # VMEM budget: the double-buffered bf16 hidden state (2*b*t*c*2
+        # bytes + streamed blocks) must fit in on-chip memory
+        max_elems = int(self.hp.get("pallas_max_hidden_elems", 4 * 1024 * 1024))
+        return c % 128 == 0 and t % 8 == 0 and b * t * c <= max_elems
 
     def __call__(self, spec, diffusion_step, cond=None, cond_proj=None):
         c = self.hp["residual_channels"]

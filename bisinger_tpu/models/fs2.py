@@ -92,12 +92,18 @@ class FastSpeech2(nn.Module):
         out_dims = self.out_dims or hp["audio_num_mel_bins"]
         self.mel_out = nn.Dense(out_dims, name="mel_out")
         self.embed_dropout = nn.Dropout(hp["dropout"])
+        # output head width by dur_loss (reference `tts_modules.py:98-105`:
+        # mse 1, mog 15 = 5 mixtures x (w, mu, log_sigma), crf 32 states)
+        dur_odims = {"mse": 1, "huber": 1, "mog": 15, "crf": 32}[
+            hp.get("dur_loss", "mse")
+        ]
         self.dur_predictor = DurationPredictor(
             n_layers=hp["dur_predictor_layers"],
             n_chans=self._predictor_hidden(),
             kernel_size=hp["dur_predictor_kernel"],
             dropout=hp["predictor_dropout"],
             padding=hp["ffn_padding"],
+            odims=dur_odims,
             name="dur_predictor",
         )
         if hp["use_spk_id"]:

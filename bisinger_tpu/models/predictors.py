@@ -7,6 +7,7 @@ stacks are plain `nn.Conv` (XLA fuses the elementwise tail into the conv).
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -53,19 +54,29 @@ class DurationPredictor(nn.Module):
     padding: str = "SAME"
     odims: int = 1
 
-    @nn.compact
-    def __call__(self, x, x_padding=None, deterministic=True):
-        for i in range(self.n_layers):
-            x = ConvReluLN(
+    def setup(self):
+        self.convs = [
+            ConvReluLN(
                 channels=self.n_chans,
                 kernel_size=self.kernel_size,
                 dropout=self.dropout,
                 padding=self.padding,
                 name=f"conv_{i}",
-            )(x, deterministic=deterministic)
+            )
+            for i in range(self.n_layers)
+        ]
+        self.linear = nn.Dense(self.odims, name="linear")
+        if self.odims == 32:  # CRF: learned state-transition matrix
+            self.crf_transitions = self.param(
+                "crf_transitions", nn.initializers.zeros, (self.odims, self.odims)
+            )
+
+    def __call__(self, x, x_padding=None, deterministic=True):
+        for conv in self.convs:
+            x = conv(x, deterministic=deterministic)
             if x_padding is not None:
                 x = x * (1.0 - x_padding.astype(x.dtype))[:, :, None]
-        x = nn.Dense(self.odims, name="linear")(x)
+        x = self.linear(x)
         if x_padding is not None:
             x = x * (1.0 - x_padding.astype(x.dtype))[:, :, None]
         if self.odims == 1:
@@ -73,9 +84,94 @@ class DurationPredictor(nn.Module):
         return x
 
     def out2dur(self, xs):
-        """log-domain -> linear integer durations: round(exp(x) - offset),
-        clipped at 0 (reference `tts_modules.py:124-133`)."""
-        return jnp.maximum(jnp.round(jnp.exp(xs) - self.offset), 0.0).astype(jnp.int32)
+        """Head output -> linear integer durations (reference
+        `tts_modules.py:124-133`; the reference leaves MoG decode
+        NotImplemented — here it decodes via the mixture expectation,
+        and CRF via Viterbi with learned transitions)."""
+        if self.odims == 1:
+            return jnp.maximum(
+                jnp.round(jnp.exp(xs) - self.offset), 0.0
+            ).astype(jnp.int32)
+        if self.odims == 15:  # MoG: 5 x (weight logit, mu, log_sigma)
+            w, mu, _ = jnp.split(xs, 3, axis=-1)
+            exp_log = (jax.nn.softmax(w, axis=-1) * mu).sum(-1)
+            return jnp.maximum(
+                jnp.round(jnp.exp(exp_log) - self.offset), 0.0
+            ).astype(jnp.int32)
+        # CRF: states ARE frame counts; Viterbi over learned transitions
+        return crf_viterbi(xs, self.crf_transitions)
+
+
+def crf_viterbi(emissions, transitions):
+    """Max-score state path of a linear-chain CRF (reference decodes via
+    torchcrf, `tts_modules.py:132`). emissions [B, T, S] -> [B, T]."""
+
+    def step(alpha, em_t):
+        # alpha [B, S]: best score ending in state s
+        scores = alpha[:, :, None] + transitions[None]  # [B, S_prev, S]
+        best_prev = jnp.argmax(scores, axis=1)  # [B, S]
+        alpha = jnp.max(scores, axis=1) + em_t
+        return alpha, best_prev
+
+    em = jnp.swapaxes(emissions, 0, 1)  # [T, B, S]
+    alpha, backptrs = jax.lax.scan(step, em[0], em[1:])
+    last = jnp.argmax(alpha, axis=-1)  # [B]
+
+    def backtrack(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]
+        return prev, prev
+
+    _, states = jax.lax.scan(backtrack, last, backptrs, reverse=True)
+    return jnp.concatenate([jnp.swapaxes(states, 0, 1), last[:, None]], axis=1)
+
+
+def crf_log_likelihood(emissions, transitions, tags, mask=None):
+    """Linear-chain CRF log p(tags | emissions): score - logZ (forward
+    algorithm). emissions [B, T, S], tags [B, T] int. Padding positions
+    (mask 0) must be trailing."""
+    B, T, S = emissions.shape
+    if mask is None:
+        mask = jnp.ones((B, T), jnp.float32)
+    mask = mask.astype(jnp.float32)
+
+    # path score
+    em_score = jnp.take_along_axis(emissions, tags[..., None], axis=-1)[..., 0]
+    em_score = (em_score * mask).sum(-1)
+    tr = transitions[tags[:, :-1], tags[:, 1:]]
+    tr_score = (tr * mask[:, 1:]).sum(-1)
+
+    # partition via forward algorithm
+    def step(alpha, inp):
+        em_t, m_t = inp
+        new = jax.nn.logsumexp(
+            alpha[:, :, None] + transitions[None], axis=1
+        ) + em_t
+        return jnp.where(m_t[:, None] > 0, new, alpha), None
+
+    em = jnp.swapaxes(emissions, 0, 1)
+    mk = jnp.swapaxes(mask, 0, 1)
+    alpha, _ = jax.lax.scan(step, em[0], (em[1:], mk[1:]))
+    log_z = jax.nn.logsumexp(alpha, axis=-1)
+    return em_score + tr_score - log_z
+
+
+def mog_dur_nll(xs, dur_gt, offset: float = 1.0, mask=None):
+    """Negative log-likelihood of log(dur + offset) under the 5-component
+    Gaussian mixture head (odims 15: weight logits | means | log sigmas).
+    xs [B, T, 15], dur_gt [B, T] float frames."""
+    w, mu, log_sigma = jnp.split(xs, 3, axis=-1)
+    log_sigma = jnp.clip(log_sigma, -7.0, 7.0)
+    target = jnp.log(dur_gt + offset)[..., None]
+    log_prob = (
+        -0.5 * ((target - mu) / jnp.exp(log_sigma)) ** 2
+        - log_sigma
+        - 0.5 * math.log(2 * math.pi)
+    )
+    nll = -jax.nn.logsumexp(jax.nn.log_softmax(w, axis=-1) + log_prob, axis=-1)
+    if mask is not None:
+        m = mask.astype(nll.dtype)
+        return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return nll.mean()
 
 
 class PitchPredictor(nn.Module):

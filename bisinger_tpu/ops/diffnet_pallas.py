@@ -46,7 +46,7 @@ def _stack_kernel(
     wo_ref,  # [1, C, 2C] output projection weight
     bo_ref,  # [1, 1, 2C] output projection bias
     cond_ref,  # [1, B, Tc, 2C] conditioner projection chunk
-    x0_ref,  # [B, T, C] initial hidden state (resident)
+    x0_ref,  # [B, Tc, C] initial hidden state chunk (streamed)
     skip_ref,  # out: [B, Tc, C] skip accumulator chunk
     xbuf,  # scratch: [2, B, T + 2H, C] double-buffered padded hidden
     *,
@@ -56,85 +56,93 @@ def _stack_kernel(
     C: int,
     uniq_dils: Sequence[int],
 ):
+    # grid step 0 along the layer axis is a pure COPY pass: all chunks
+    # land in xbuf[0] before any conv reads a halo (a chunk's right halo
+    # belongs to the next chunk, so compute can't start at layer 0's
+    # first visit). Layers are computed at l = 1..L with lm = l - 1.
     l = pl.program_id(0)
     t = pl.program_id(1)
     B = x0_ref.shape[0]
     t0 = t * Tc
 
-    # ---- first grid step: zero the halo pads, load x0 into the center --
     @pl.when((l == 0) & (t == 0))
     def _():
         xbuf[...] = jnp.zeros(xbuf.shape, xbuf.dtype)
 
     @pl.when(l == 0)
     def _():
-        xbuf[0, :, pl.ds(H + t0, Tc), :] = x0_ref[:, pl.ds(t0, Tc), :]
-
-    src = jax.lax.rem(l, 2)
-    dst = jax.lax.rem(l + 1, 2)
-
-    step = step_ref[0].astype(jnp.float32)  # [B, C]
-
-    # one ALIGNED halo window per step: rows [t0, t0 + Tc + 2H) of the
-    # padded buffer == global frames [t0 - H, t0 + Tc + H)
-    win = xbuf[src, :, pl.ds(t0, Tc + 2 * H), :].astype(jnp.float32)
-    xm = jax.lax.slice_in_dim(win, H, H + Tc, axis=1)  # [B, Tc, C]
-
-    wd = wd_ref[0]  # [3, C, 2C]
-
-    def conv_for(d: int):
-        """Dilated conv with STATIC shift d (zero-padded halo handles
-        interior chunks; mask the step add outside the sequence)."""
-
-        def tap(shift: int):
-            xs = jax.lax.slice_in_dim(win, H + shift, H + shift + Tc, axis=1)
-            gidx = t0 + shift + jax.lax.broadcasted_iota(jnp.int32, (1, Tc, 1), 1)
-            valid = (gidx >= 0) & (gidx < T)
-            return jnp.where(valid, xs + step[:, None, :], 0.0)
-
-        y = jnp.dot(
-            tap(-d).reshape(B * Tc, C).astype(jnp.bfloat16),
-            wd[0].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        y += jnp.dot(
-            tap(0).reshape(B * Tc, C).astype(jnp.bfloat16),
-            wd[1].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        y += jnp.dot(
-            tap(d).reshape(B * Tc, C).astype(jnp.bfloat16),
-            wd[2].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        return y.reshape(B, Tc, 2 * C)
-
-    if len(uniq_dils) == 1:
-        y = conv_for(uniq_dils[0])
-    else:
-        y = jax.lax.switch(
-            dsel_ref[l, 0], [functools.partial(conv_for, d) for d in uniq_dils]
-        )
-    y = y + bd_ref[0][None] + cond_ref[0].astype(jnp.float32)
-
-    gate = jax.nn.sigmoid(y[..., :C])
-    filt = jnp.tanh(y[..., C:])
-    g = (gate * filt).astype(jnp.bfloat16)
-
-    z = jnp.dot(
-        g.reshape(B * Tc, C), wo_ref[0].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).reshape(B, Tc, 2 * C) + bo_ref[0][None]
-
-    x_new = (xm + z[..., :C]) * _RSQRT2
-    xbuf[dst, :, pl.ds(H + t0, Tc), :] = x_new.astype(xbuf.dtype)
+        xbuf[0, :, pl.ds(H + t0, Tc), :] = x0_ref[...]
 
     @pl.when(l == 0)
     def _():
-        skip_ref[...] = z[..., C:]
+        skip_ref[...] = jnp.zeros(skip_ref.shape, skip_ref.dtype)
+
+    lm = jnp.maximum(l - 1, 0)
+    src = jax.lax.rem(lm, 2)
+    dst = jax.lax.rem(lm + 1, 2)
+
+    step = step_ref[0].astype(jnp.float32)  # [B, C]
 
     @pl.when(l > 0)
-    def _():
+    def _compute():
+        # one ALIGNED halo window per step: rows [t0, t0 + Tc + 2H) of
+        # the padded buffer == global frames [t0 - H, t0 + Tc + H).
+        # Window/taps stay bf16 (the flax bf16 path also adds x + step in
+        # bf16); accumulation is fp32 via preferred_element_type.
+        win = xbuf[src, :, pl.ds(t0, Tc + 2 * H), :]
+        xm = jax.lax.slice_in_dim(win, H, H + Tc, axis=1)  # [B, Tc, C]
+        step_b = step.astype(jnp.bfloat16)
+
+        wd = wd_ref[0]  # [3, C, 2C]
+
+        def conv_for(d: int):
+            """Dilated conv with STATIC shift d (zero-padded halo handles
+            interior chunks; mask the step add outside the sequence)."""
+
+            def tap(shift: int):
+                xs = jax.lax.slice_in_dim(win, H + shift, H + shift + Tc, axis=1)
+                gidx = t0 + shift + jax.lax.broadcasted_iota(jnp.int32, (1, Tc, 1), 1)
+                valid = (gidx >= 0) & (gidx < T)
+                return jnp.where(
+                    valid, xs + step_b[:, None, :], jnp.bfloat16(0.0)
+                )
+
+            y = jnp.dot(
+                tap(-d).reshape(B * Tc, C),
+                wd[0],
+                preferred_element_type=jnp.float32,
+            )
+            y += jnp.dot(
+                tap(0).reshape(B * Tc, C),
+                wd[1],
+                preferred_element_type=jnp.float32,
+            )
+            y += jnp.dot(
+                tap(d).reshape(B * Tc, C),
+                wd[2],
+                preferred_element_type=jnp.float32,
+            )
+            return y.reshape(B, Tc, 2 * C)
+
+        if len(uniq_dils) == 1:
+            y = conv_for(uniq_dils[0])
+        else:
+            y = jax.lax.switch(
+                dsel_ref[lm, 0], [functools.partial(conv_for, d) for d in uniq_dils]
+            )
+        y = y + bd_ref[0][None] + cond_ref[0].astype(jnp.float32)
+
+        gate = jax.nn.sigmoid(y[..., :C])
+        filt = jnp.tanh(y[..., C:])
+        g = (gate * filt).astype(jnp.bfloat16)
+
+        z = jnp.dot(
+            g.reshape(B * Tc, C), wo_ref[0].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, Tc, 2 * C) + bo_ref[0][None]
+
+        x_new = (xm + z[..., :C]) * _RSQRT2
+        xbuf[dst, :, pl.ds(H + t0, Tc), :] = x_new.astype(xbuf.dtype)
         skip_ref[...] += z[..., C:]
 
 
@@ -148,7 +156,7 @@ def fused_residual_stack(
     bo: jax.Array,  # [L, 2C]
     dilations: Sequence[int],
     *,
-    t_chunk: int = 256,
+    t_chunk: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """-> skip_sum [B, T, C] fp32 (caller divides by sqrt(L))."""
@@ -167,7 +175,12 @@ def fused_residual_stack(
         [uniq_dils.index(int(d)) for d in dilations], jnp.int32
     ).reshape(L, 1)
 
-    grid = (L, n_t)
+    def lidx(l):
+        # layer-stream index: grid step l computes layer l-1 (step 0 is
+        # the copy pass); clamp keeps the map valid at l == 0
+        return jnp.maximum(l - 1, 0)
+
+    grid = (L + 1, n_t)
     out = pl.pallas_call(
         functools.partial(
             _stack_kernel, T=T, Tc=Tc, H=H, C=C, uniq_dils=uniq_dils
@@ -175,19 +188,22 @@ def fused_residual_stack(
         grid=grid,
         in_specs=[
             pl.BlockSpec((L, 1), lambda l, t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, C), lambda l, t: (l, 0, 0)),
-            pl.BlockSpec((1, 3, C, 2 * C), lambda l, t: (l, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (l, 0, 0)),
-            pl.BlockSpec((1, C, 2 * C), lambda l, t: (l, 0, 0)),
-            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (l, 0, 0)),
-            pl.BlockSpec((1, B, Tc, 2 * C), lambda l, t: (l, 0, t, 0)),
-            pl.BlockSpec((B, T, C), lambda l, t: (0, 0, 0)),
+            pl.BlockSpec((1, B, C), lambda l, t: (lidx(l), 0, 0)),
+            pl.BlockSpec((1, 3, C, 2 * C), lambda l, t: (lidx(l), 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (lidx(l), 0, 0)),
+            pl.BlockSpec((1, C, 2 * C), lambda l, t: (lidx(l), 0, 0)),
+            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (lidx(l), 0, 0)),
+            pl.BlockSpec((1, B, Tc, 2 * C), lambda l, t: (lidx(l), 0, t, 0)),
+            pl.BlockSpec((B, Tc, C), lambda l, t: (0, t, 0)),
         ],
         out_specs=pl.BlockSpec((B, Tc, C), lambda l, t: (0, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, B, T + 2 * H, C), jnp.bfloat16),
         ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         dsel,

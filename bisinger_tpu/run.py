@@ -23,6 +23,11 @@ TASK_ALIASES = {
     "usr.diffsinger_task.DiffSingerMIDITask": "bisinger_tpu.training.tasks.DiffSingerMIDITask",
     "usr.diffsinger_task.AuxDecoderMIDITask": "bisinger_tpu.training.tasks.AuxDecoderMIDITask",
     "tasks.tts.pe.PitchExtractionTask": "bisinger_tpu.training.tasks.PitchExtractionTask",
+    "tasks.tts.fs2.FastSpeech2Task": "bisinger_tpu.training.tasks.FastSpeech2Task",
+    "usr.diffspeech_task.DiffSpeechTask": "bisinger_tpu.training.tasks.DiffSpeechTask",
+    "usr.diffsinger_task.DiffSingerTask": "bisinger_tpu.training.tasks.DiffSingerTask",
+    "usr.diffsinger_task.DiffSingerOfflineTask": "bisinger_tpu.training.tasks.DiffSingerOfflineTask",
+    "usr.task.DiffFsTask": "bisinger_tpu.training.tasks.DiffFsTask",
 }
 
 

@@ -299,3 +299,40 @@ class PitchExtractionTask:
     @functools.partial(jax.jit, static_argnums=0)
     def infer_step(self, params, mels):
         return self.model.apply({"params": params}, mels)
+
+
+class DiffSpeechTask(DiffSingerMIDITask):
+    """Shallow-diffusion TTS (reference `usr/diffspeech_task.py:18-122`):
+    same training loop with the fs2 frozen except '*predictor*' params."""
+
+    def __init__(self, hp: HParams, vocab_size: int):
+        super().__init__(hp, vocab_size, freeze_fs2=True)
+
+
+class DiffSingerTask(DiffSingerMIDITask):
+    """Non-MIDI DiffSinger (reference `usr/diffsinger_task.py:32-137`):
+    identical loop; configs simply unset use_midi so the plain
+    FastSpeech2 conditioner is built."""
+
+
+class DiffFsTask(DiffSingerMIDITask):
+    """Plain (non-shallow) diffusion task (reference `usr/task.py:15-84`,
+    StepLR schedule): run with gaussian_start=true, K_step=timesteps."""
+
+
+class DiffSingerOfflineTask(DiffSingerMIDITask):
+    """Offline variant: fs2 mels precomputed on disk, diffusion starts
+    from the recorded fs2 mel (reference `usr/diffsinger_task.py`
+    DiffSingerOfflineTask + OfflineGaussianDiffusion)."""
+
+    def build_model(self):
+        from bisinger_tpu.models.diffusion import OfflineGaussianDiffusion
+
+        return OfflineGaussianDiffusion(
+            hp=self.hp, vocab_size=self.vocab_size,
+            out_dims=self.hp["audio_num_mel_bins"],
+        )
+
+
+# reference alias: AuxDecoderMIDITask subsumes the plain fs2 recipe
+FastSpeech2Task = AuxDecoderMIDITask

@@ -85,3 +85,32 @@ def test_backend_flag_in_module():
     out = m_p.apply({"params": params}, spec, t, cond=cond)
     err = np.max(np.abs(np.asarray(out) - np.asarray(ref)))
     assert err / (np.max(np.abs(np.asarray(ref))) + 1e-6) < 0.05
+
+
+def test_chunk_boundary_halo():
+    """Layer-0 halo across time-chunk boundaries: the copy pass must land
+    ALL chunks before any conv reads a neighbor (regression for the
+    right-halo-of-zeros bug). Checked at strict per-frame tolerance
+    around each chunk edge with a small t_chunk."""
+    from bisinger_tpu.ops.diffnet_pallas import fused_residual_stack
+    import math
+
+    hp = _hp(residual_layers=4, dilation_cycle_length=4)
+    B, T, M, C = 1, 256, 80, 256
+    model = DiffNet(hp=hp, in_dims=M)
+    rng = jax.random.PRNGKey(3)
+    spec = jax.random.normal(rng, (B, T, M))
+    cond = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, C))
+    t = jnp.array([9], jnp.int32)
+    params = model.init(rng, spec, t, cond=cond)["params"]
+    cond_proj = model.apply({"params": params}, cond, method=DiffNet.cond_projections)
+
+    ref = np.asarray(model.apply({"params": params}, spec, t, cond_proj=cond_proj))
+    out = np.asarray(
+        diffnet_forward_pallas(params, hp, spec, t, cond_proj, interpret=True)
+    )
+    scale = np.max(np.abs(ref)) + 1e-6
+    # default t_chunk=128 -> boundary at frame 128; probe +-16 frames
+    for lo, hi in [(112, 144), (0, 16), (240, 256)]:
+        err = np.max(np.abs(out[:, lo:hi] - ref[:, lo:hi]))
+        assert err / scale < 0.05, (lo, hi, err, scale)

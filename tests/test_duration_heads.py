@@ -1,0 +1,83 @@
+"""MoG/CRF duration heads (reference tts_modules.py:98-133; MoG decode
+is NotImplemented in the reference — here it decodes by expectation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bisinger_tpu.models.predictors import (
+    DurationPredictor,
+    crf_log_likelihood,
+    crf_viterbi,
+    mog_dur_nll,
+)
+
+
+def test_mse_head_roundtrip():
+    dp = DurationPredictor(odims=1, n_chans=32)
+    x = jnp.zeros((2, 8, 16))
+    params = dp.init(jax.random.PRNGKey(0), x)["params"]
+    out = dp.apply({"params": params}, x)
+    assert out.shape == (2, 8)
+    dur = dp.apply({"params": params}, jnp.log(jnp.array([[4.0]])), method=DurationPredictor.out2dur)
+    assert int(dur[0, 0]) == 3  # round(exp(log 4) - 1)
+
+
+def test_mog_head_decode_and_nll():
+    dp = DurationPredictor(odims=15, n_chans=32)
+    x = jnp.ones((2, 8, 16))
+    params = dp.init(jax.random.PRNGKey(0), x)["params"]
+    xs = dp.apply({"params": params}, x)
+    assert xs.shape == (2, 8, 15)
+    dur = dp.apply({"params": params}, xs, method=DurationPredictor.out2dur)
+    assert dur.shape == (2, 8) and (np.asarray(dur) >= 0).all()
+
+    nll = mog_dur_nll(xs, jnp.full((2, 8), 3.0))
+    assert np.isfinite(float(nll))
+    # fitting the head on a constant target must reduce NLL
+    loss = lambda p: mog_dur_nll(dp.apply({"params": p}, x), jnp.full((2, 8), 3.0))
+    p2 = params
+    for _ in range(20):
+        grads = jax.grad(loss)(p2)
+        p2 = jax.tree.map(lambda p, g: p - 0.05 * g, p2, grads)
+    assert float(loss(p2)) < float(nll)
+
+
+def test_crf_viterbi_prefers_emissions():
+    """With zero transitions, Viterbi = argmax of emissions."""
+    rng = np.random.default_rng(0)
+    em = jnp.asarray(rng.standard_normal((2, 6, 5)).astype(np.float32))
+    path = crf_viterbi(em, jnp.zeros((5, 5)))
+    np.testing.assert_array_equal(np.asarray(path), np.argmax(np.asarray(em), -1))
+
+
+def test_crf_viterbi_transitions_matter():
+    """Strongly negative transition out of state 0 forces a stay."""
+    em = jnp.zeros((1, 4, 3)).at[0, 0, 0].set(5.0)
+    trans = jnp.full((3, 3), -10.0).at[0, 0].set(0.0)
+    path = crf_viterbi(em, trans)
+    np.testing.assert_array_equal(np.asarray(path)[0], [0, 0, 0, 0])
+
+
+def test_crf_log_likelihood_normalized():
+    """exp(ll) over all tag sequences sums to 1 for a tiny chain."""
+    import itertools
+
+    rng = np.random.default_rng(1)
+    em = jnp.asarray(rng.standard_normal((1, 3, 2)).astype(np.float32))
+    trans = jnp.asarray(rng.standard_normal((2, 2)).astype(np.float32))
+    total = 0.0
+    for tags in itertools.product([0, 1], repeat=3):
+        ll = crf_log_likelihood(em, trans, jnp.asarray([list(tags)]))
+        total += float(jnp.exp(ll)[0])
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_crf_head_in_predictor():
+    dp = DurationPredictor(odims=32, n_chans=32)
+    x = jnp.ones((1, 6, 16))
+    params = dp.init(jax.random.PRNGKey(0), x)["params"]
+    xs = dp.apply({"params": params}, x)
+    dur = dp.apply({"params": params}, xs, method=DurationPredictor.out2dur)
+    assert dur.shape == (1, 6)
+    assert ((np.asarray(dur) >= 0) & (np.asarray(dur) < 32)).all()
