@@ -143,9 +143,11 @@ class DiffNet(nn.Module):
             return False
         c = self.hp["residual_channels"]
         b, t = spec.shape[0], spec.shape[1]
-        # VMEM budget: the double-buffered bf16 hidden state (2*b*t*c*2
-        # bytes + streamed blocks) must fit in on-chip memory
-        max_elems = int(self.hp.get("pallas_max_hidden_elems", 4 * 1024 * 1024))
+        # the fused kernel keeps 2*b*t*c bf16 hidden state VMEM-resident:
+        # it wins at small batch (latency regime, measured +19% at
+        # B=4xT=1024xC=256 = 1M elems) but loses to XLA's batched convs
+        # once the buffer crowds VMEM (B=16: 75 vs 136 audio-s/s)
+        max_elems = int(self.hp.get("pallas_max_hidden_elems", 1024 * 1024))
         return c % 128 == 0 and t % 8 == 0 and b * t * c <= max_elems
 
     def __call__(self, spec, diffusion_step, cond=None, cond_proj=None):

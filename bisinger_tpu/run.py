@@ -47,12 +47,27 @@ def main(argv=None):
     parser.add_argument("--input", type=str, default="", help="score json for --infer")
     parser.add_argument("--out", type=str, default="infer_out")
     parser.add_argument("--max_updates", type=int, default=0)
+    parser.add_argument(
+        "--reset",
+        action="store_true",
+        help="ignore the config saved in the work dir (reference --reset)",
+    )
     args = parser.parse_args(argv)
+
+    import json
 
     from bisinger_tpu.config import load_hparams
 
     hp = load_hparams(args.config or None, args.hparams or None)
     work_dir = os.path.join("checkpoints", args.exp_name)
+    # precedence (reference hparams.py:69-96): experiment config < saved
+    # work-dir config (unless --reset) < --hparams overrides
+    saved_cfg = os.path.join(work_dir, "config.json")
+    if not args.reset and os.path.exists(saved_cfg):
+        with open(saved_cfg) as f:
+            hp = hp.merged(json.load(f))
+        if args.hparams:
+            hp = load_hparams(overrides=args.hparams, base=hp)
     hp = hp.replace(exp_name=args.exp_name, work_dir=work_dir, infer=args.infer)
 
     if args.binarize:

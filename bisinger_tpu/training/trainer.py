@@ -74,6 +74,31 @@ class Trainer:
         if self.is_main:
             with open(os.path.join(self.work_dir, "config.json"), "w") as f:
                 json.dump(hp.to_dict(), f, indent=2, default=str)
+            if hp.get("save_codes", True):
+                self._snapshot_code()
+
+    def _snapshot_code(self):
+        """Copy the package source into work_dir/codes/<timestamp> for
+        reproducibility (reference base_task.py:252-257)."""
+        import shutil
+        import time
+
+        src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(
+            self.work_dir, "codes", time.strftime("%Y%m%d%H%M%S")
+        )
+        if os.path.exists(dst):
+            return
+        try:
+            shutil.copytree(
+                src,
+                os.path.join(dst, "bisinger_tpu"),
+                ignore=shutil.ignore_patterns(
+                    "__pycache__", "*.pyc", "*.so", "*.o"
+                ),
+            )
+        except OSError:
+            pass  # snapshot is best-effort
 
     # ---- logging ---------------------------------------------------------
     def _tb_writer(self):
