@@ -1,8 +1,19 @@
 from bisinger_tpu.parallel.mesh import (
     batch_sharding,
+    global_batch_from_process_local,
     make_mesh,
+    param_sharding,
     replicate_sharding,
     shard_batch,
+    tensor_parallel_shardings,
 )
 
-__all__ = ["make_mesh", "shard_batch", "batch_sharding", "replicate_sharding"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "batch_sharding",
+    "replicate_sharding",
+    "param_sharding",
+    "global_batch_from_process_local",
+    "tensor_parallel_shardings",
+]

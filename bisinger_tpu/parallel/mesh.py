@@ -81,8 +81,50 @@ def global_batch_from_process_local(
 
 
 def param_sharding(path_str: str, mesh: Mesh) -> NamedSharding:
-    """Sharding rule for a parameter by name. Round-1 policy: replicate
-    everything (models are <=~50M params, far below one chip's HBM). The
-    hook exists so large variants can shard e.g. DiffNet channels or
-    vocoder channels over 'model' without touching call sites."""
+    """Sharding rule for a parameter by name. Default policy: replicate
+    (models are <=~50M params, far below one chip's HBM);
+    `tensor_parallel_rules` applies real model-axis sharding."""
     return NamedSharding(mesh, P())
+
+
+def _tp_spec(path: str, leaf) -> P:
+    """Megatron-style column/row-parallel rules for the DiffNet residual
+    stack (the dominant weights at scale):
+
+      - dilated_conv / conditioner_projection kernels: output channels
+        (2C) sharded over 'model' (column-parallel);
+      - res output_projection kernels: input channels (C) sharded
+        (row-parallel) — XLA inserts the psum on the partial sums;
+      - matching biases shard with the output dim; everything else
+        replicates.
+
+    XLA propagates the shardings through the gate split and inserts the
+    collectives needed to keep the program correct; the rules choose
+    where the big matmuls shard, not every reshard.
+    """
+    if "dilated_conv" in path or "conditioner_projection" in path:
+        if path.endswith("kernel"):
+            return P(None, None, "model")  # [k, C, 2C]
+        if path.endswith("bias"):
+            return P("model")
+    if "res_" in path and "output_projection" in path:
+        if path.endswith("kernel"):
+            return P(None, "model", None)  # [1, C, 2C] contract over C
+    return P()
+
+
+def tensor_parallel_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings implementing DiffNet tensor parallelism
+    over the 'model' mesh axis. Use with jax.device_put(params, ...)."""
+
+    def rule(path, leaf):
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        spec = _tp_spec(path_str, leaf)
+        # drop the rule if the named axis doesn't divide the dim
+        n_model = mesh.shape["model"]
+        for axis, name in enumerate(spec):
+            if name == "model" and leaf.shape[axis] % n_model != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(rule, params)

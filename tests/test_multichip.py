@@ -82,3 +82,43 @@ def test_dp_params_stay_replicated(env):
         new_state, _ = task.train_step(st, sharded, rng)
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_tensor_parallel_diffnet_forward():
+    """DiffNet forward with megatron-style TP params over the 'model'
+    axis matches the replicated forward (XLA inserts the collectives)."""
+    import jax.numpy as jnp
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.models.diffnet import DiffNet
+    from bisinger_tpu.parallel import tensor_parallel_shardings
+
+    hp = load_hparams(
+        overrides=dict(
+            residual_layers=4,
+            residual_channels=256,
+            dilation_cycle_length=2,
+            compute_dtype="float32",
+        )
+    )
+    model = DiffNet(hp=hp, in_dims=80)
+    rng = jax.random.PRNGKey(0)
+    spec = jax.random.normal(rng, (2, 64, 80))
+    cond = jax.random.normal(jax.random.fold_in(rng, 1), (2, 64, 256))
+    t = jnp.array([3, 7], jnp.int32)
+    params = model.init(rng, spec, t, cond=cond)["params"]
+    ref = np.asarray(model.apply({"params": params}, spec, t, cond=cond))
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    shardings = tensor_parallel_shardings(params, mesh)
+    # the big kernels actually shard over 'model'
+    dc = shardings["res_0"]["dilated_conv"]["kernel"]
+    assert not dc.is_fully_replicated
+    with mesh:
+        tp_params = jax.device_put(params, shardings)
+        out = np.asarray(
+            jax.jit(lambda p, s, tt, c: model.apply({"params": p}, s, tt, cond=c))(
+                tp_params, spec, t, cond
+            )
+        )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
