@@ -295,24 +295,30 @@ class M4SingerBinarizer:
             if len(phone) == 0:
                 raise BinarizationError("Empty phoneme")
             res["phone"] = np.asarray(phone, dtype=np.int64)
-            res["mel2ph"] = ph_durs_to_mel2ph(
-                item["ph_durs"], n_frames, hp["hop_size"], hp["audio_sample_rate"]
-            )
-            for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
-                arr = np.asarray(item[key], dtype=np.int64)
-                res[key] = arr
-            res["midi_dur"] = np.asarray(item["midi_dur"], dtype=np.float32)
-            res["speechsing"] = np.asarray(item["speechsing"], dtype=np.int64)
-            assert (
-                res["pitch_midi"].shape
-                == res["is_slur"].shape
-                == res["lang"].shape
-                == (len(phone),)
-            ), (res["pitch_midi"].shape, len(phone))
+            res["mel2ph"] = self.get_align(item, n_frames)
+            if "pitch_midi" in item:
+                for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
+                    arr = np.asarray(item[key], dtype=np.int64)
+                    res[key] = arr
+                res["midi_dur"] = np.asarray(item["midi_dur"], dtype=np.float32)
+                res["speechsing"] = np.asarray(item["speechsing"], dtype=np.int64)
+                assert (
+                    res["pitch_midi"].shape
+                    == res["is_slur"].shape
+                    == res["lang"].shape
+                    == (len(phone),)
+                ), (res["pitch_midi"].shape, len(phone))
             return res
         except BinarizationError as e:
             print(f"| Skip item ({e}). item_name: {item['item_name']}")
             return None
+
+    def get_align(self, item: Dict[str, Any], n_frames: int) -> np.ndarray:
+        """mel2ph from the per-phone durations (reference
+        `MidiSingingBinarizer.get_align`, `binarize.py:230-253`)."""
+        return ph_durs_to_mel2ph(
+            item["ph_durs"], n_frames, self.hp["hop_size"], self.hp["audio_sample_rate"]
+        )
 
     # ---- driver ----------------------------------------------------------
     def process(self):
@@ -356,5 +362,49 @@ class M4SingerBinarizer:
         print(f"| binarized {prefix}: {len(lengths)} items")
 
 
-# alias used by configs (reference name)
+class TextGridBinarizer(M4SingerBinarizer):
+    """MFA-TextGrid-aligned speech/singing binarizer (reference
+    `SingingBinarizer`, `data_gen/singing/binarize.py:26-160`): meta
+    items carry `tg_fn` (TextGrid path) instead of per-phone durations;
+    mel2ph comes from the alignment tier. `binarization_args.fix_zh_dur`
+    applies the Chinese duration fixing (silence-run frames folded into
+    the preceding yunmu, shengmu/yunmu equalized — reference
+    `ZhBinarizer.get_align`, `binarizer_zh.py:13-55`)."""
+
+    def load_meta_data(self):
+        hp = self.hp
+        path = os.path.join(hp["raw_data_dir"], hp["raw_json_fn"])
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                song = json.loads(line)
+                name = song["item_name"]
+                self.items[name] = {
+                    "item_name": name,
+                    "wav_fn": song["wav_fn"],
+                    "tg_fn": song["tg_fn"],
+                    "txt": song["txt"],
+                    "ph": song["ph"] if isinstance(song["ph"], str) else " ".join(song["ph"]),
+                    "spk": song.get("spk", name.split("#")[0]),
+                }
+        self.item_names = sorted(self.items.keys())
+
+    def get_align(self, item: Dict[str, Any], n_frames: int) -> np.ndarray:
+        from bisinger_tpu.data.textgrid import fix_zh_durations, textgrid_to_mel2ph
+
+        with open(item["tg_fn"], encoding="utf-8") as f:
+            tg_text = f.read()
+        mel2ph, _ = textgrid_to_mel2ph(
+            tg_text, item["ph"], n_frames, self.hp["hop_size"],
+            self.hp["audio_sample_rate"],
+        )
+        if self.hp["binarization_args"].get("fix_zh_dur"):
+            mel2ph = fix_zh_durations(mel2ph, item["ph"].split(" "))
+        return mel2ph
+
+
+# reference class names
+ZhBinarizer = TextGridBinarizer
 SingingBinarizer = M4SingerBinarizer

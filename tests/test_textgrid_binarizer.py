@@ -1,0 +1,97 @@
+"""TextGrid-aligned binarizer (reference SingingBinarizer/ZhBinarizer)."""
+
+import json
+import os
+
+import numpy as np
+
+from bisinger_tpu.config import load_hparams
+from bisinger_tpu.data.binarizer import TextGridBinarizer
+from bisinger_tpu.data.records import RecordReader
+
+_TG_TMPL = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = {dur}
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = {dur}
+        intervals: size = 4
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.1
+            text = ""
+        intervals [2]:
+            xmin = 0.1
+            xmax = 0.3
+            text = "n"
+        intervals [3]:
+            xmin = 0.3
+            xmax = 0.6
+            text = "i"
+        intervals [4]:
+            xmin = 0.6
+            xmax = {dur}
+            text = ""
+"""
+
+
+def _write_corpus(root, n=5):
+    os.makedirs(root, exist_ok=True)
+    sr = 24000
+    dur_s = 0.8
+    meta_lines = []
+    for i in range(n):
+        t = np.arange(int(sr * dur_s)) / sr
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 20 * i) * t)).astype(np.float32)
+        wav_fn = os.path.join(root, f"it{i}.wav")
+        from bisinger_tpu.utils.audio import save_wav
+
+        save_wav(wav, wav_fn, sr)
+        tg_fn = os.path.join(root, f"it{i}.TextGrid")
+        with open(tg_fn, "w") as f:
+            f.write(_TG_TMPL.format(dur=dur_s))
+        meta_lines.append(
+            {
+                "item_name": f"spk0#song#{i}",
+                "wav_fn": wav_fn,
+                "tg_fn": tg_fn,
+                "txt": "ni",
+                "ph": "<SP> n i <SP>",
+            }
+        )
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        for m in meta_lines:
+            f.write(json.dumps(m) + "\n")
+
+
+def test_textgrid_binarize(tmp_path):
+    root = str(tmp_path / "raw")
+    _write_corpus(root)
+    hp = load_hparams(
+        overrides=dict(
+            raw_data_dir=root,
+            raw_json_fn="meta.json",
+            binary_data_dir=str(tmp_path / "bin"),
+            num_spk=2,
+            test_num=1,
+            binarization_args={"with_f0": True, "fix_zh_dur": True},
+        )
+    )
+    TextGridBinarizer(hp).process()
+    reader = RecordReader(str(tmp_path / "bin" / "train"))
+    assert len(reader) >= 3
+    item = reader[0]
+    mel2ph = item["mel2ph"]
+    assert mel2ph.max() == 4  # four phones aligned
+    # phone 2 ('n') spans ~0.1-0.3 s -> ~37 frames at hop 128 / 24 kHz
+    n_frames_n = int((mel2ph == 2).sum())
+    assert 20 < n_frames_n < 60
+    assert "pitch_midi" not in item  # speech meta has no MIDI fields
+    assert item["mel"].shape[1] == 80

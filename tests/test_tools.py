@@ -104,3 +104,25 @@ def test_shift_audio_gated():
     except ImportError:
         with pytest.raises(RuntimeError, match="pyworld"):
             shift_item_audio(np.zeros(2400, np.float32), 24000, [0.1], [220.0])
+
+
+def test_mfa_prep(tmp_path):
+    """wav/lab pairing for MFA (reference get_pairs_db4.sh)."""
+    import os
+
+    import numpy as np
+
+    from bisinger_tpu.tools.mfa_prep import load_transcripts, prepare_corpus
+    from bisinger_tpu.utils.audio import save_wav
+
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    for utt in ("a1", "a2"):
+        save_wav(np.zeros(2400, np.float32), str(wavs / f"{utt}.wav"), 24000)
+    tr = tmp_path / "tr.txt"
+    tr.write_text("a1\tni hao\na2\thello world\nmissing\tx\n")
+    out = tmp_path / "corpus"
+    n = prepare_corpus(str(wavs), load_transcripts(str(tr)), str(out), "spkA")
+    assert n == 2
+    assert (out / "spkA" / "a1.lab").read_text().strip() == "ni hao"
+    assert os.path.exists(out / "spkA" / "a2.wav")
