@@ -249,6 +249,14 @@ class M4SingerBinarizer:
         hp = self.hp
         try:
             wav = load_wav(item["wav_fn"], hp["audio_sample_rate"])
+            if hp["binarization_args"].get("trim_long_sil"):
+                from bisinger_tpu.utils.audio import trim_long_silences
+
+                wav, _ = trim_long_silences(wav, hp["audio_sample_rate"])
+            if hp.get("loud_norm"):
+                from bisinger_tpu.utils.audio import loudness_normalize
+
+                wav = loudness_normalize(wav, hp["audio_sample_rate"])
             wav, mel = wav2spec(
                 wav,
                 sample_rate=hp["audio_sample_rate"],

@@ -138,3 +138,105 @@ def save_wav(wav: np.ndarray, path: str, sr: int, norm: bool = False):
     if norm and np.abs(wav).max() > 0:
         wav = wav / np.abs(wav).max()
     wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+
+
+# --------------------------------------------------------------------------
+# loudness normalization + VAD silence trimming
+# --------------------------------------------------------------------------
+def _k_weighting_sos(sr: int):
+    """BS.1770 K-weighting as two biquads (high-shelf + high-pass),
+    coefficients re-derived for arbitrary sample rate (the standard
+    tables are 48 kHz; pyloudnorm uses the same bilinear design)."""
+    import math
+
+    # stage 1: spherical-head high shelf
+    db = 3.999843853973347
+    f0 = 1681.974450955533
+    q = 0.7071752369554196
+    k = math.tan(math.pi * f0 / sr)
+    vh = 10 ** (db / 20.0)
+    vb = vh ** 0.4996667741545416
+    a0 = 1.0 + k / q + k * k
+    b1 = [(vh + vb * k / q + k * k) / a0, 2.0 * (k * k - vh) / a0,
+          (vh - vb * k / q + k * k) / a0]
+    a1 = [1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0]
+    # stage 2: high-pass
+    f0 = 38.13547087602444
+    q = 0.5003270373238773
+    k = math.tan(math.pi * f0 / sr)
+    den = 1.0 + k / q + k * k
+    a2 = [1.0, 2.0 * (k * k - 1.0) / den, (1.0 - k / q + k * k) / den]
+    b2 = [1.0, -2.0, 1.0]
+    return (b1, a1), (b2, a2)
+
+
+def integrated_loudness(wav: np.ndarray, sr: int) -> float:
+    """Gated integrated loudness in LUFS (BS.1770-4, mono; behavioural
+    stand-in for pyloudnorm's Meter — reference `data_gen_utils.py:45-47,
+    117-121`)."""
+    from scipy.signal import lfilter
+
+    (b1, a1), (b2, a2) = _k_weighting_sos(sr)
+    x = lfilter(b1, a1, wav.astype(np.float64))
+    x = lfilter(b2, a2, x)
+    block = int(0.4 * sr)
+    hop = int(0.1 * sr)
+    if len(x) < block:
+        ms = np.mean(x ** 2) + 1e-12
+        return -0.691 + 10.0 * np.log10(ms)
+    n_blocks = 1 + (len(x) - block) // hop
+    idx = np.arange(block)[None, :] + hop * np.arange(n_blocks)[:, None]
+    ms = np.mean(x[idx] ** 2, axis=1) + 1e-12
+    lk = -0.691 + 10.0 * np.log10(ms)
+    # absolute gate -70 LUFS, then relative gate -10 LU
+    keep = lk > -70.0
+    if not keep.any():
+        return -70.0
+    rel = -0.691 + 10.0 * np.log10(np.mean(ms[keep])) - 10.0
+    keep &= lk > rel
+    if not keep.any():
+        return -70.0
+    return -0.691 + 10.0 * np.log10(np.mean(ms[keep]))
+
+
+def loudness_normalize(wav: np.ndarray, sr: int, target_lufs: float = -22.0) -> np.ndarray:
+    """Scale to target LUFS, clipping-protected (reference
+    `process_utterance:117-121`)."""
+    lufs = integrated_loudness(wav, sr)
+    gain = 10.0 ** ((target_lufs - lufs) / 20.0)
+    out = wav * gain
+    peak = np.abs(out).max()
+    if peak > 1.0:
+        out = out / peak
+    return out.astype(np.float32)
+
+
+def trim_long_silences(
+    wav: np.ndarray,
+    sr: int,
+    vad_max_silence_length: int = 12,
+    window_ms: int = 30,
+    moving_average_width: int = 8,
+):
+    """Collapse long silences (reference `trim_long_silences:29-92`,
+    webrtcvad replaced by an energy VAD): 30 ms windows, voiced =
+    smoothed rms above an adaptive threshold, voiced regions dilated by
+    `vad_max_silence_length` windows. Returns (trimmed, mask)."""
+    from scipy.ndimage import binary_dilation
+
+    spw = (window_ms * sr) // 1000
+    n_win = len(wav) // spw
+    if n_win == 0:
+        return wav, np.ones(len(wav), bool)
+    frames = wav[: n_win * spw].reshape(n_win, spw)
+    rms = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
+    thresh = max(1e-4, 0.1 * np.median(rms[rms > np.percentile(rms, 20)]))
+    flags = (rms > thresh).astype(float)
+
+    width = moving_average_width
+    smoothed = np.convolve(flags, np.ones(width) / width, mode="same")
+    mask_w = np.round(smoothed).astype(bool)
+    mask_w = binary_dilation(mask_w, np.ones(vad_max_silence_length + 1, bool))
+    mask = np.repeat(mask_w, spw)
+    mask = np.concatenate([mask, np.ones(len(wav) - len(mask), bool)])
+    return wav[mask], mask

@@ -128,3 +128,40 @@ class TestSeq:
         toks = jnp.asarray([[5, 6, 7, 0, 0]])
         pos = make_positions(toks)
         assert pos.tolist() == [[1, 2, 3, 0, 0]]
+
+
+def test_integrated_loudness_and_normalize():
+    """BS.1770-style loudness (reference uses pyloudnorm,
+    data_gen_utils.py:45-47): normalizing hits the target within 0.1 LU
+    and louder input measures louder."""
+    import numpy as np
+
+    from bisinger_tpu.utils.audio import integrated_loudness, loudness_normalize
+
+    sr = 24000
+    t = np.arange(sr * 2) / sr
+    quiet = (0.05 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    loud = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    assert integrated_loudness(loud, sr) > integrated_loudness(quiet, sr) + 15
+    out = loudness_normalize(quiet, sr, target_lufs=-22.0)
+    assert abs(integrated_loudness(out, sr) + 22.0) < 0.1
+    # clipping protection
+    hot = loudness_normalize(quiet, sr, target_lufs=0.0)
+    assert np.abs(hot).max() <= 1.0
+
+
+def test_trim_long_silences():
+    """Energy-VAD silence collapse (reference trim_long_silences:29-92):
+    leading/trailing silence shrinks, voiced samples survive."""
+    import numpy as np
+
+    from bisinger_tpu.utils.audio import trim_long_silences
+
+    sr = 24000
+    t = np.arange(sr) / sr
+    voiced = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    sig = np.concatenate([np.zeros(sr), voiced, np.zeros(sr)]).astype(np.float32)
+    trimmed, mask = trim_long_silences(sig, sr)
+    assert len(trimmed) < len(sig)
+    assert len(trimmed) >= len(voiced)  # no voiced samples lost
+    assert mask[sr + sr // 2]  # middle of the voiced span kept
