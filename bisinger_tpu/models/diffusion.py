@@ -246,6 +246,59 @@ class GaussianDiffusion(nn.Module):
         )
         return x
 
+    def dpmpp_sample_loop(self, x, cond_proj, k: int, steps: int, denoise_fn=None):
+        """DPM-Solver++(2M) (arXiv:2211.01095): deterministic 2nd-order
+        multistep ODE solver in data-prediction form. `steps` NFE replace
+        the K_step/pndm chain (40 steps ~ 200-NFE PLMS quality for mel
+        diffusion) — a TPU-friendly sampler: one lax.scan, no noise
+        history stack, coefficients precomputed host-side."""
+        b = self.buffers
+        ac = np.asarray(b.alphas_cumprod)
+        steps = min(int(steps), int(k))  # more NFE than K just duplicates t's
+        ts = np.linspace(k - 1, 0, steps).round().astype(np.int64)  # decreasing
+        ts = ts[np.concatenate([[True], np.diff(ts) != 0])]  # drop duplicates
+        steps = len(ts)
+        alpha = np.sqrt(ac[ts])
+        sigma = np.sqrt(np.maximum(1.0 - ac[ts], 1e-12))
+        lam = np.log(alpha / sigma)
+        h = np.diff(lam)  # h[i] = lam[i+1] - lam[i] > 0 (noise decreasing)
+
+        t_arr = jnp.asarray(ts, jnp.int32)
+        alpha_j = jnp.asarray(alpha, x.dtype)
+        sigma_j = jnp.asarray(sigma, x.dtype)
+        h_j = jnp.asarray(h, x.dtype)
+
+        dn = denoise_fn or (
+            lambda xx, tb: self.denoise_fn(xx, tb, cond_proj=cond_proj)
+        )
+
+        def x0_of(x, i):
+            tb = jnp.full((x.shape[0],), t_arr[i], dtype=jnp.int32)
+            eps = dn(x, tb)
+            x0 = (x - sigma_j[i] * eps) / alpha_j[i]
+            return jnp.clip(x0, -1.0, 1.0)
+
+        # first transition: 1st-order (DPM-Solver++(1))
+        x0_prev = x0_of(x, 0)
+        x = (sigma_j[1] / sigma_j[0]) * x - alpha_j[1] * jnp.expm1(-h_j[0]) * x0_prev
+
+        def body(carry, i):
+            x, x0_prev = carry
+            x0 = x0_of(x, i)
+            r = h_j[i - 1] / h_j[i]
+            D = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+            x = (sigma_j[i + 1] / sigma_j[i]) * x - alpha_j[i + 1] * jnp.expm1(
+                -h_j[i]
+            ) * D
+            return (x, x0), None
+
+        if steps > 2:
+            (x, _), _ = jax.lax.scan(
+                body, (x, x0_prev), jnp.arange(1, steps - 1, dtype=jnp.int32)
+            )
+        # final denoise-to-zero: return the data prediction at the last t
+        return x0_of(x, steps - 1)
+
     def init_path(self, txt_tokens, mel2ph=None, spk_embed=None, ref_mels=None,
                   f0=None, uv=None, energy=None, **kwargs):
         """Initialization-only forward touching every submodule (fs2 incl.
@@ -323,8 +376,13 @@ class GaussianDiffusion(nn.Module):
         # conditioner projections are step-invariant: compute once, reuse
         # across all NFE (see models/diffnet.py)
         cond_proj = self.denoise_fn.cond_projections(cond)
+        sampler = hp.get("diff_sampler", "plms")
         speedup = hp.get("pndm_speedup")
-        if speedup:
+        if sampler == "dpmpp":
+            x = self.dpmpp_sample_loop(
+                x, cond_proj, k, int(hp.get("dpm_steps", 40))
+            )
+        elif speedup:
             x = self.plms_sample_loop(x, cond_proj, k, int(speedup))
         else:
             (x, _), _ = self._scan_ddpm(
