@@ -72,6 +72,10 @@ def main():
             # pallas where eligible (the VMEM guard falls back to XLA for
             # large B*T automatically)
             diffnet_backend=os.environ.get("BENCH_DIFFNET_BACKEND", "pallas"),
+            # PLMS 200-NFE is the reference-parity default; set
+            # BENCH_SAMPLER=dpmpp for the fast ODE sampler
+            diff_sampler=os.environ.get("BENCH_SAMPLER", "plms"),
+            dpm_steps=int(os.environ.get("BENCH_DPM_STEPS", 40)),
         )
     )
 

@@ -223,6 +223,44 @@ class Trainer:
             n = batch["txt_tokens"].shape[0]
             losses = self.task.val_step(state, shard_batch(batch, self.mesh), rng)
             meter.update(jax.device_get(losses), n)
+            if i == 0:
+                self._log_val_media(state, batch, rng)
         avg = meter.averages()
         self.log(avg, "val")
         return avg.get("total_loss", float("inf"))
+
+    def _log_val_media(self, state, batch, rng):
+        """Per-validation mel/duration/f0 figures + vocoded audio of the
+        first batch item (reference `fs2.py:368-433`,
+        `diffspeech_task.py:113-122`). Best-effort: skipped without a TB
+        writer, a matplotlib install, or an infer_step on the task."""
+        tb = self._tb_writer()
+        infer_step = getattr(self.task, "infer_step", None)
+        if tb is None or infer_step is None or not self.is_main:
+            return
+        try:
+            ret = infer_step(state.params, shard_batch(batch, self.mesh), rng)
+            mel_pred = np.asarray(jax.device_get(ret["mel_out"]))[0]
+            mel_gt = np.asarray(batch["mels"])[0]
+            from bisinger_tpu.utils import plot
+
+            tb.add_figure(
+                f"val/mel_{0}",
+                plot.spec_compare_figure(mel_gt, mel_pred),
+                self.global_step,
+            )
+            if "f0" in batch:
+                f0_gt = np.asarray(batch["f0"])[0]
+                tb.add_figure(
+                    f"val/f0_{0}", plot.f0_to_figure(f0_gt), self.global_step
+                )
+            vocoder = getattr(self.task, "vocoder", None)
+            if vocoder is not None:
+                f0 = np.asarray(batch.get("f0", np.zeros(mel_pred.shape[0])))[0]
+                wav = vocoder.spec2wav(mel_pred, f0)
+                tb.add_audio(
+                    f"val/wav_{0}", wav[None, :], self.global_step,
+                    sample_rate=self.hp["audio_sample_rate"],
+                )
+        except Exception as e:  # media logging must never kill training
+            print(f"| val media logging skipped: {e}", flush=True)
