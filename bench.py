@@ -140,12 +140,16 @@ def main():
 
     audio_seconds = B * T_MEL * hp["hop_size"] / hp["audio_sample_rate"]
     value = audio_seconds / dt
+    if hp["diff_sampler"] == "dpmpp":
+        sampler_desc = f"{hp['dpm_steps']}-NFE DPM-Solver++"
+    else:
+        sampler_desc = f"{hp['K_step'] // hp['pndm_speedup']}-NFE PLMS"
     print(
         json.dumps(
             {
                 "metric": "audio_seconds_per_second_per_chip",
                 "value": round(value, 3),
-                "unit": f"audio-s/s (B={B}, 200-NFE PLMS diffusion + HiFi-GAN NSF)",
+                "unit": f"audio-s/s (B={B}, {sampler_desc} diffusion + HiFi-GAN NSF)",
                 "vs_baseline": round(value / 1.0, 3),
             }
         )
