@@ -167,20 +167,47 @@ class SVSInfer:
     ) -> List[str]:
         """Batch inference over a JSON list of score dicts (reference
         `infer_from_json:559-582`)."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
         with open(json_fn) as f:
             inputs = json.load(f)
         os.makedirs(save_dir, exist_ok=True)
         paths = []
-        for i, inp in enumerate(inputs):
-            if bpm is not None:
-                inp = dict(inp, bpm=bpm)
-            wav = self.infer_once(inp)
-            name = inp.get("item_name", f"item_{i}")
-            path = os.path.join(save_dir, f"{name}.wav")
-            if wav.ndim == 1:
-                save_wav(wav, path, self.hp["audio_sample_rate"])
-            else:
-                np.save(path.replace(".wav", "_mel.npy"), wav)
-                path = path.replace(".wav", "_mel.npy")
-            paths.append(path)
+        futures = []
+        profile = bool(self.hp.get("profile_infer"))
+        audio_seconds = 0.0
+        t0 = time.perf_counter()
+        # async result saving (reference test_start Pool(8) + save_result,
+        # `tasks/tts/tts.py:106-118`, `fs2.py:560-576`) — device stays busy
+        # while the host writes wav/npy files
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for i, inp in enumerate(inputs):
+                if bpm is not None:
+                    inp = dict(inp, bpm=bpm)
+                wav = self.infer_once(inp)
+                name = inp.get("item_name", f"item_{i}")
+                path = os.path.join(save_dir, f"{name}.wav")
+                if wav.ndim == 1:
+                    futures.append(
+                        pool.submit(save_wav, wav, path, self.hp["audio_sample_rate"])
+                    )
+                    audio_seconds += len(wav) / self.hp["audio_sample_rate"]
+                else:
+                    path = path.replace(".wav", "_mel.npy")
+                    futures.append(pool.submit(np.save, path, wav))
+                    audio_seconds += (
+                        wav.shape[0] * self.hp["hop_size"] / self.hp["audio_sample_rate"]
+                    )
+                paths.append(path)
+            for f in futures:
+                f.result()
+        if profile:
+            # the reference's north-star counter (`fs2.py:624-630`)
+            dt = time.perf_counter() - t0
+            print(
+                f"| profile_infer: {audio_seconds:.2f} audio-s in {dt:.2f} s "
+                f"({audio_seconds / max(dt, 1e-9):.2f} audio-s/s)",
+                flush=True,
+            )
         return paths
