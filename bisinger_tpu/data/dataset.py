@@ -101,6 +101,18 @@ class M4SingerDataset:
         if "speechsing" in item:
             ss = np.asarray(item["speechsing"]).reshape(-1)
             sample["speechsing"] = int(ss[0])
+        fs2_dir = hp.get("fs2_mel_dir")
+        if fs2_dir:
+            # offline shallow diffusion: stage-1 mels precomputed on disk
+            # (reference ShallowDiffusionOfflineDataset,
+            # `usr/diffsinger_task.py:140-158`)
+            import os
+
+            fn = os.path.join(fs2_dir, f"{sample['item_name']}.npy")
+            fs2_mel = np.load(fn)[:t].astype(np.float32)
+            if fs2_mel.shape[0] < t:
+                fs2_mel = np.pad(fs2_mel, ((0, t - fs2_mel.shape[0]), (0, 0)))
+            sample["fs2_mel"] = fs2_mel
         return sample
 
     # ---- ordering (reference base_task.py:62-72) -------------------------
@@ -175,6 +187,8 @@ def collate_batch(
     if "f0" in samples[0]:
         batch["f0"] = pad_1d([s["f0"] for s in samples], t_mel).astype(np.float32)
         batch["uv"] = pad_1d([s["uv"] for s in samples], t_mel).astype(np.float32)
+    if "fs2_mel" in samples[0]:
+        batch["fs2_mels"] = pad_2d([s["fs2_mel"] for s in samples], t_mel)
     for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
         if key in samples[0]:
             batch[key] = pad_1d([s[key] for s in samples], t_txt)

@@ -321,9 +321,11 @@ class DiffFsTask(DiffSingerMIDITask):
 
 
 class DiffSingerOfflineTask(DiffSingerMIDITask):
-    """Offline variant: fs2 mels precomputed on disk, diffusion starts
-    from the recorded fs2 mel (reference `usr/diffsinger_task.py`
-    DiffSingerOfflineTask + OfflineGaussianDiffusion)."""
+    """Offline variant: fs2 mels precomputed on disk
+    (`hp['fs2_mel_dir']/<item>.npy`), diffusion starts from the recorded
+    fs2 mel (reference `usr/diffsinger_task.py` DiffSingerOfflineTask +
+    ShallowDiffusionOfflineDataset + OfflineGaussianDiffusion:
+    ref_mels = (gt_mel, fs2_mel))."""
 
     def build_model(self):
         from bisinger_tpu.models.diffusion import OfflineGaussianDiffusion
@@ -331,6 +333,38 @@ class DiffSingerOfflineTask(DiffSingerMIDITask):
         return OfflineGaussianDiffusion(
             hp=self.hp, vocab_size=self.vocab_size,
             out_dims=self.hp["audio_num_mel_bins"],
+        )
+
+    def _forward(self, params, batch, rng, deterministic: bool):
+        rng_drop, rng_diff = jax.random.split(rng)
+        kwargs = _model_kwargs(batch, self.hp)
+        kwargs["ref_mels"] = (batch["mels"], batch["fs2_mels"])
+        return self.model.apply(
+            {"params": params}, **kwargs, deterministic=deterministic,
+            rng=rng_diff, rngs={"dropout": rng_drop, "diffusion": rng_diff},
+        )
+
+    def init_state(self, rng, batch):
+        variables = self.model.init(
+            {"params": rng, "diffusion": rng},
+            **{**_model_kwargs(batch, self.hp),
+               "ref_mels": (batch["mels"], batch["fs2_mels"])},
+        )
+        params = variables["params"]
+        if self.freeze_fs2:
+            mask = predictor_only_mask(params)
+            self.tx = build_optimizer(self.hp, schedule=self.schedule, trainable_mask=mask)
+        return TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer_step(self, params, batch, rng):
+        kwargs = _model_kwargs(batch, self.hp)
+        kwargs["f0"] = None
+        kwargs["uv"] = None
+        kwargs["ref_mels"] = (batch["mels"], batch["fs2_mels"])
+        return self.model.apply(
+            {"params": params}, **kwargs, infer=True, rng=rng,
+            rngs={"diffusion": rng},
         )
 
 

@@ -216,3 +216,45 @@ class TestTrainerLoop:
         trainer2 = Trainer(task2, hp)
         state2 = trainer2.fit(max_updates=7)
         assert int(state2.step) == 7
+
+
+def test_offline_diffusion_task(tiny_env, tmp_path):
+    """DiffSingerOfflineTask: fs2 mels from disk drive the shallow start
+    (reference DiffSingerOfflineTask + ShallowDiffusionOfflineDataset)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+    from bisinger_tpu.training.tasks import DiffSingerOfflineTask
+
+    hp = tiny_env
+    from bisinger_tpu.utils.text_encoder import build_phone_encoder
+
+    vocab_size = build_phone_encoder(hp["binary_data_dir"]).vocab_size
+    # record fake stage-1 mels per item
+    fs2_dir = tmp_path / "fs2_mels"
+    fs2_dir.mkdir()
+    ds_probe = M4SingerDataset(hp, "train")
+    rng_np = np.random.default_rng(0)
+    for i in range(len(ds_probe)):
+        it = ds_probe[i]
+        np.save(
+            str(fs2_dir / f"{it['item_name']}.npy"),
+            rng_np.standard_normal((it["mel"].shape[0], 80)).astype(np.float32),
+        )
+    hp2 = hp.replace(fs2_mel_dir=str(fs2_dir), gaussian_start=False)
+    ds = M4SingerDataset(hp2, "train")
+    dl = DataLoader(ds, hp2, shuffle=False)
+    from bisinger_tpu.training.trainer import device_batch
+
+    batch = device_batch(next(iter(dl)))
+    assert "fs2_mels" in batch and batch["fs2_mels"].shape == batch["mels"].shape
+
+    task = DiffSingerOfflineTask(hp2, vocab_size)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    state, losses = task.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total_loss"]))
+    ret = task.infer_step(state.params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(ret["mel_out"])).all()
