@@ -145,6 +145,53 @@ def load_py2cmu_map(path: str) -> Dict[str, List[str]]:
     return out
 
 
+def adjust_item_durations(item: Dict, tg_text: str) -> Dict:
+    """Reconcile an item's ph_dur with its MFA TextGrid (reference
+    `utils/adjust_m4_ori_meta.py`): replace each phone's duration with
+    the aligned interval from the TextGrid's phone tier; silence
+    intervals map onto the item's <SP>/<AP> phones. Phone counts must
+    match after that pairing or the item is returned unchanged with a
+    warning."""
+    from bisinger_tpu.data.textgrid import parse_textgrid
+
+    tiers = parse_textgrid(tg_text)
+    intervals = [
+        x for x in tiers[-1]["items"] if round(x["xmax"] - x["xmin"], 6) > 0
+    ]
+    phs = item["phs"]
+    if len(intervals) != len(phs):
+        print(
+            f"| adjust: {item.get('item_name')} has {len(phs)} phones vs "
+            f"{len(intervals)} intervals; left unchanged"
+        )
+        return item
+    out = dict(item)
+    out["ph_dur"] = [round(x["xmax"] - x["xmin"], 4) for x in intervals]
+    return out
+
+
+def adjust_meta_file(meta_fn: str, tg_dir: str, out_fn: str) -> int:
+    """Line-json meta + `<id>.TextGrid` per item -> adjusted meta."""
+    import os
+
+    n = 0
+    with open(meta_fn, encoding="utf-8") as fi, open(out_fn, "w", encoding="utf-8") as fo:
+        for line in fi:
+            line = line.strip()
+            if not line:
+                continue
+            item = json.loads(line)
+            item_id = item["item_name"].split("#")[-1]
+            tg_fn = os.path.join(tg_dir, item_id + ".TextGrid")
+            if os.path.exists(tg_fn):
+                with open(tg_fn, encoding="utf-8") as f:
+                    item = adjust_item_durations(item, f.read())
+            json.dump(item, fo, ensure_ascii=False)
+            fo.write("\n")
+            n += 1
+    return n
+
+
 if __name__ == "__main__":
     in_fn, out_fn = sys.argv[1], sys.argv[2]
     py2cmu = load_py2cmu_map(sys.argv[3]) if len(sys.argv) > 3 else None

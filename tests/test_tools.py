@@ -126,3 +126,42 @@ def test_mfa_prep(tmp_path):
     assert n == 2
     assert (out / "spkA" / "a1.lab").read_text().strip() == "ni hao"
     assert os.path.exists(out / "spkA" / "a2.wav")
+
+
+def test_adjust_item_durations():
+    """TextGrid duration reconciliation (reference adjust_m4_ori_meta)."""
+    from bisinger_tpu.tools.meta import adjust_item_durations
+
+    tg = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.25
+            text = ""
+        intervals [2]:
+            xmin = 0.25
+            xmax = 0.65
+            text = "n"
+        intervals [3]:
+            xmin = 0.65
+            xmax = 1.0
+            text = "i"
+"""
+    item = {"item_name": "a#b#1", "phs": ["<SP>", "n", "i"], "ph_dur": [0.1, 0.5, 0.4]}
+    out = adjust_item_durations(item, tg)
+    assert out["ph_dur"] == [0.25, 0.4, 0.35]
+    # count mismatch -> unchanged
+    bad = {"item_name": "a#b#2", "phs": ["n"], "ph_dur": [1.0]}
+    assert adjust_item_durations(bad, tg)["ph_dur"] == [1.0]
