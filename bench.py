@@ -42,7 +42,7 @@ def main():
 
     # production-scale config (reference m4-detect-ori-shift); batch is
     # overridable for throughput sweeps
-    B = int(os.environ.get("BENCH_B", 16))
+    B = int(os.environ.get("BENCH_B", 24))
     T_TOKENS = 128
     T_MEL = int(os.environ.get("BENCH_T", 1024))  # ~5.46 s at 24 kHz / hop 128
     VOCAB = 64
