@@ -303,7 +303,7 @@ class M4SingerBinarizer:
             if len(phone) == 0:
                 raise BinarizationError("Empty phoneme")
             res["phone"] = np.asarray(phone, dtype=np.int64)
-            res["mel2ph"] = self.get_align(item, n_frames)
+            res["mel2ph"] = self.get_align(item, n_frames, f0=res.get("f0"))
             if "pitch_midi" in item:
                 for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
                     arr = np.asarray(item[key], dtype=np.int64)
@@ -321,7 +321,7 @@ class M4SingerBinarizer:
             print(f"| Skip item ({e}). item_name: {item['item_name']}")
             return None
 
-    def get_align(self, item: Dict[str, Any], n_frames: int) -> np.ndarray:
+    def get_align(self, item: Dict[str, Any], n_frames: int, f0=None) -> np.ndarray:
         """mel2ph from the per-phone durations (reference
         `MidiSingingBinarizer.get_align`, `binarize.py:230-253`)."""
         return ph_durs_to_mel2ph(
@@ -399,7 +399,7 @@ class TextGridBinarizer(M4SingerBinarizer):
                 }
         self.item_names = sorted(self.items.keys())
 
-    def get_align(self, item: Dict[str, Any], n_frames: int) -> np.ndarray:
+    def get_align(self, item: Dict[str, Any], n_frames: int, f0=None) -> np.ndarray:
         from bisinger_tpu.data.textgrid import fix_zh_durations, textgrid_to_mel2ph
 
         with open(item["tg_fn"], encoding="utf-8") as f:
@@ -409,7 +409,7 @@ class TextGridBinarizer(M4SingerBinarizer):
             self.hp["audio_sample_rate"],
         )
         if self.hp["binarization_args"].get("fix_zh_dur"):
-            mel2ph = fix_zh_durations(mel2ph, item["ph"].split(" "))
+            mel2ph = fix_zh_durations(mel2ph, item["ph"].split(" "), f0=f0)
         return mel2ph
 
 

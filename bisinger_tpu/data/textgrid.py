@@ -16,7 +16,7 @@ Pure host-side Python/numpy.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -121,24 +121,48 @@ def textgrid_to_mel2ph(
     return mel2ph, dur
 
 
-def fix_zh_durations(mel2ph: np.ndarray, ph_list: List[str]) -> np.ndarray:
+def fix_zh_durations(
+    mel2ph: np.ndarray, ph_list: List[str], f0: Optional[np.ndarray] = None
+) -> np.ndarray:
     """Chinese duration fixing (reference `ZhBinarizer.get_align`,
-    `data_gen/tts/binarizer_zh.py:13-55`): give trailing silence-run
-    frames to the preceding yunmu, then equalize shengmu/yunmu pairs.
+    `data_gen/tts/binarizer_zh.py:24-50`), two passes over per-phone
+    durations:
 
-    Approximation of the reference's two passes: for every phone pair
-    (shengmu, yunmu) belonging to one syllable we leave timing to MFA;
-    silence frames directly after a yunmu whose next phone is silence are
-    merged into the yunmu."""
-    mel2ph = mel2ph.copy()
-    n_ph = int(mel2ph.max())
-    for i in range(1, n_ph):
-        ph = ph_list[i - 1] if i - 1 < len(ph_list) else ""
-        nxt = ph_list[i] if i < len(ph_list) else ""
-        if not is_sil_phoneme(ph) and is_sil_phoneme(nxt):
-            # extend the voiced phone halfway into the following silence
-            sil_frames = np.where(mel2ph == i + 1)[0]
-            if len(sil_frames) > 2:
-                take = len(sil_frames) // 2
-                mel2ph[sil_frames[:take]] = i
-    return mel2ph
+      1. separator phones (first char neither '<' nor alphabetic): their
+         leading VOICED frames (f0 != 0) move to the preceding yunmu;
+         separators left shorter than 100 frames merge entirely;
+      2. each (shengmu, yunmu) pair is equalized to half of its total.
+    """
+    from bisinger_tpu.data.text.pinyin import INITIALS
+
+    n_frames = len(mel2ph)
+    n_ph = len(ph_list)
+    dur = np.bincount(mel2ph, minlength=n_ph + 1)[1 : n_ph + 1].astype(np.int64)
+    dur_cumsum = np.pad(np.cumsum(dur), [1, 0])
+    for i in range(n_ph):
+        p = ph_list[i]
+        if p and p[0] != "<" and not p[0].isalpha() and i > 0:
+            if f0 is not None:
+                uv = f0[dur_cumsum[i] : dur_cumsum[i + 1]] == 0
+                j = 0
+                while j < len(uv) and not uv[j]:
+                    j += 1
+                dur[i - 1] += j
+                dur[i] -= j
+            if dur[i] < 100:
+                dur[i - 1] += dur[i]
+                dur[i] = 0
+    shenmu = set(INITIALS.keys())
+    for i in range(n_ph - 1):
+        if ph_list[i].lower() in shenmu:
+            nxt = ph_list[i + 1]
+            if dur[i] > 0 and nxt and nxt[0].isalpha() and nxt.lower() not in shenmu:
+                total = dur[i] + dur[i + 1]
+                dur[i] = total // 2
+                dur[i + 1] = total - dur[i]
+    out = np.zeros(n_frames, dtype=np.int64)
+    pos = 0
+    for i in range(n_ph):
+        out[pos : pos + dur[i]] = i + 1
+        pos += dur[i]
+    return out

@@ -95,3 +95,26 @@ def test_textgrid_binarize(tmp_path):
     assert 20 < n_frames_n < 60
     assert "pitch_midi" not in item  # speech meta has no MIDI fields
     assert item["mel"].shape[1] == 80
+
+
+def test_fix_zh_durations_rules():
+    """Reference ZhBinarizer rules (binarizer_zh.py:24-50): separator
+    voiced-prefix transfer + <100-frame merge, shengmu/yunmu split."""
+    import numpy as np
+
+    from bisinger_tpu.data.textgrid import fix_zh_durations
+
+    # phones: shengmu 'n' (10 fr), yunmu 'i' (30 fr), separator ',' (20 fr)
+    ph_list = ["n", "i", ","]
+    mel2ph = np.concatenate([[1] * 10, [2] * 30, [3] * 20]).astype(np.int64)
+    # separator's first 5 frames are voiced -> move to 'i'; remaining 15
+    # frames < 100 -> merged too
+    f0 = np.zeros(60, np.float32)
+    f0[:40] = 200.0
+    f0[40:45] = 180.0
+    out = fix_zh_durations(mel2ph, ph_list, f0=f0)
+    dur = np.bincount(out, minlength=4)[1:]
+    assert dur[2] == 0  # separator fully absorbed
+    # shengmu/yunmu equalized over their (new) total 10 + 50 = 60
+    assert dur[0] == 30 and dur[1] == 30
+    assert len(out) == 60
