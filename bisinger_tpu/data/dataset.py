@@ -85,6 +85,12 @@ class M4SingerDataset:
             "mel2ph": np.asarray(item["mel2ph"], dtype=np.int64)[:t],
             "spk_id": int(item.get("spk_id", 0)),
         }
+        if hp.get("use_energy_embed"):
+            # frame energy from the log-mel (reference `fs2_utils.py:65`:
+            # sqrt(sum(exp(mel)^2)) over bins; our mel is log10 -> 10**)
+            sample["energy"] = np.sqrt(
+                ((10.0 ** mel) ** 2).sum(-1)
+            ).astype(np.float32)
         if hp["binarization_args"].get("with_f0", True) and "f0" in item:
             f0, uv = norm_interp_f0_np(
                 item["f0"][:t], hp["pitch_norm"], use_uv=hp["use_uv"]
@@ -189,6 +195,8 @@ def collate_batch(
         batch["uv"] = pad_1d([s["uv"] for s in samples], t_mel).astype(np.float32)
     if "fs2_mel" in samples[0]:
         batch["fs2_mels"] = pad_2d([s["fs2_mel"] for s in samples], t_mel)
+    if "energy" in samples[0]:
+        batch["energy"] = pad_1d([s["energy"] for s in samples], t_mel).astype(np.float32)
     for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
         if key in samples[0]:
             batch[key] = pad_1d([s[key] for s in samples], t_txt)

@@ -258,3 +258,26 @@ def test_offline_diffusion_task(tiny_env, tmp_path):
     assert np.isfinite(float(losses["total_loss"]))
     ret = task.infer_step(state.params, batch, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(ret["mel_out"])).all()
+
+
+def test_energy_embed_path(tiny_env):
+    """use_energy_embed: energy derived from mel in the dataset, embedded
+    in fs2, MSE loss trains (reference fs2_utils.py:65, fs2.py add_energy)."""
+    import jax
+    import numpy as np
+
+    from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+    from bisinger_tpu.training.tasks import AuxDecoderMIDITask
+    from bisinger_tpu.training.trainer import device_batch
+    from bisinger_tpu.utils.text_encoder import build_phone_encoder
+
+    hp = tiny_env.replace(use_energy_embed=True)
+    vocab_size = build_phone_encoder(hp["binary_data_dir"]).vocab_size
+    ds = M4SingerDataset(hp, "train")
+    batch = device_batch(next(iter(DataLoader(ds, hp, shuffle=False))))
+    assert "energy" in batch and batch["energy"].shape == batch["mels"].shape[:2]
+
+    task = AuxDecoderMIDITask(hp, vocab_size)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    state, losses = task.train_step(state, batch, jax.random.PRNGKey(1))
+    assert "e" in losses and np.isfinite(float(losses["e"]))  # energy MSE
