@@ -249,7 +249,9 @@ class M4SingerBinarizer:
         hp = self.hp
         try:
             wav = load_wav(item["wav_fn"], hp["audio_sample_rate"])
-            if hp["binarization_args"].get("trim_long_sil"):
+            if hp["binarization_args"].get("trim_long_sil") and "tg_fn" not in item:
+                # trimming rewrites the timeline; TextGrid alignments refer
+                # to the untrimmed audio, so the two are incompatible
                 from bisinger_tpu.utils.audio import trim_long_silences
 
                 wav, _ = trim_long_silences(wav, hp["audio_sample_rate"])

@@ -152,11 +152,15 @@ def fix_zh_durations(
             if dur[i] < 100:
                 dur[i - 1] += dur[i]
                 dur[i] = 0
+    from bisinger_tpu.data.text.pinyin import FINALS
+
     shenmu = set(INITIALS.keys())
+    finals = set(FINALS.keys())
     for i in range(n_ph - 1):
-        if ph_list[i].lower() in shenmu:
-            nxt = ph_list[i + 1]
-            if dur[i] > 0 and nxt and nxt[0].isalpha() and nxt.lower() not in shenmu:
+        # require a true pinyin (shengmu, yunmu) pair: English CMU phones
+        # like 'B'+'IY1' must NOT be equalized (bilingual corpora)
+        if ph_list[i].lower() in shenmu and ph_list[i + 1].lower() in finals:
+            if dur[i] > 0:
                 total = dur[i] + dur[i + 1]
                 dur[i] = total // 2
                 dur[i + 1] = total - dur[i]

@@ -56,6 +56,33 @@ def split_text_chunks(text: str, max_chars: int = MAX_CHUNK_CHARS) -> List[str]:
     return chunks or [text]
 
 
+def split_score_chunks(
+    inp: Dict[str, Any], max_words: int = 64
+) -> List[Dict[str, Any]]:
+    """Split a WHOLE score (text + notes + notes_duration, which are
+    word-aligned: whitespace words / `|`-separated note groups) into
+    consistent chunks — chunking only the lyrics would break the
+    frontend's word/notes pairing."""
+    words = inp.get("text", "").split()
+    notes = [g.strip() for g in inp.get("notes", "").split("|")]
+    durs = [g.strip() for g in inp.get("notes_duration", "").split("|")]
+    if len(words) <= max_words or len(words) != len(notes) or len(notes) != len(durs):
+        # short, or malformed (let the frontend raise its precise error)
+        return [inp]
+    chunks = []
+    for i in range(0, len(words), max_words):
+        sl = slice(i, i + max_words)
+        chunks.append(
+            {
+                **inp,
+                "text": " ".join(words[sl]),
+                "notes": " | ".join(notes[sl]),
+                "notes_duration": " | ".join(durs[sl]),
+            }
+        )
+    return chunks
+
+
 def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     """float32 [-1,1] -> 16-bit PCM WAV container."""
     pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
@@ -129,19 +156,26 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             inp = json.loads(self.rfile.read(n) or b"{}")
             wav = synthesize_chunked(self.infer, inp)
+            if wav.ndim != 1:
+                # pipeline returned a mel (no vocoder loaded) — don't
+                # serialize a spectrogram as PCM
+                self._send(
+                    400, b"error: no vocoder configured (set vocoder_ckpt)",
+                    "text/plain",
+                )
+                return
             self._send(200, wav_bytes(wav, self.sample_rate), "audio/wav")
         except Exception as e:  # surfacing the error to the UI
             self._send(400, f"error: {e}".encode(), "text/plain")
 
 
-def synthesize_chunked(infer, inp: Dict[str, Any]) -> np.ndarray:
-    """Synthesize one request, chunking long lyrics (reference
-    `gradio/infer.py:36-60`) and concatenating audio."""
-    text = inp.get("text", "")
-    chunks = split_text_chunks(text)
+def synthesize_chunked(infer, inp: Dict[str, Any], max_words: int = 64) -> np.ndarray:
+    """Synthesize one request, chunking long scores word-aligned
+    (reference `gradio/infer.py:36-60`) and concatenating audio."""
+    chunks = split_score_chunks(inp, max_words=max_words)
     if len(chunks) == 1:
         return infer.infer_once(inp)
-    wavs = [infer.infer_once({**inp, "text": c}) for c in chunks]
+    wavs = [infer.infer_once(c) for c in chunks]
     return np.concatenate(wavs)
 
 
@@ -192,7 +226,12 @@ def main(argv: Optional[List[str]] = None):
     parser.add_argument("--port", type=int, default=7860)
     args, rest = parser.parse_known_args(argv)
     hp = set_hparams(rest)
-    infer = SVSInfer.from_work_dir(hp, hp["work_dir"])
+    vocoder = None
+    if hp.get("vocoder_ckpt"):
+        from bisinger_tpu.vocoders.hifigan import HifiGAN
+
+        vocoder = HifiGAN(hp)
+    infer = SVSInfer.from_work_dir(hp, hp["work_dir"], vocoder=vocoder)
     httpd = serve(infer, args.host, args.port)
     print(f"| serving on http://{args.host}:{args.port}")
     try:

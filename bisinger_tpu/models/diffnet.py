@@ -152,11 +152,15 @@ class DiffNet(nn.Module):
 
     def __call__(self, spec, diffusion_step, cond=None, cond_proj=None):
         c = self.hp["residual_channels"]
+        # pallas only when cond_proj came precomputed — that is the
+        # sampling path; p_losses passes `cond` and needs gradients, and
+        # the fused kernel has no VJP
+        sampling_path = cond_proj is not None
         if cond_proj is None:
             assert cond is not None, "need cond or cond_proj"
             cond_proj = self.cond_projections(cond)
 
-        if self._use_pallas(spec):
+        if sampling_path and self._use_pallas(spec):
             from bisinger_tpu.ops.diffnet_pallas import diffnet_forward_pallas
 
             return diffnet_forward_pallas(

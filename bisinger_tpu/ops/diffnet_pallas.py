@@ -47,8 +47,9 @@ def _stack_kernel(
     bo_ref,  # [1, 1, 2C] output projection bias
     cond_ref,  # [1, B, Tc, 2C] conditioner projection chunk
     x0_ref,  # [B, Tc, C] initial hidden state chunk (streamed)
-    skip_ref,  # out: [B, Tc, C] skip accumulator chunk
+    skip_ref,  # out: [B, Tc, C] skip chunk (mirror of skip_acc)
     xbuf,  # scratch: [2, B, T + 2H, C] double-buffered padded hidden
+    skip_acc,  # scratch: [B, T, C] fp32 running skip sum
     *,
     T: int,
     Tc: int,
@@ -68,14 +69,11 @@ def _stack_kernel(
     @pl.when((l == 0) & (t == 0))
     def _():
         xbuf[...] = jnp.zeros(xbuf.shape, xbuf.dtype)
+        skip_acc[...] = jnp.zeros(skip_acc.shape, skip_acc.dtype)
 
     @pl.when(l == 0)
     def _():
         xbuf[0, :, pl.ds(H + t0, Tc), :] = x0_ref[...]
-
-    @pl.when(l == 0)
-    def _():
-        skip_ref[...] = jnp.zeros(skip_ref.shape, skip_ref.dtype)
 
     lm = jnp.maximum(l - 1, 0)
     src = jax.lax.rem(lm, 2)
@@ -143,7 +141,14 @@ def _stack_kernel(
 
         x_new = (xm + z[..., :C]) * _RSQRT2
         xbuf[dst, :, pl.ds(H + t0, Tc), :] = x_new.astype(xbuf.dtype)
-        skip_ref[...] += z[..., C:]
+        skip_acc[:, pl.ds(t0, Tc), :] += z[..., C:]
+
+    # output blocks are revisited NON-consecutively across the layer dim,
+    # which Pallas TPU does not guarantee to preserve — so the running sum
+    # lives in VMEM scratch and the current block state is (re)written to
+    # the output every visit; the final (l == L) visit writes the
+    # completed sum, which is what lands in HBM last.
+    skip_ref[...] = skip_acc[:, pl.ds(t0, Tc), :]
 
 
 def fused_residual_stack(
@@ -200,6 +205,7 @@ def fused_residual_stack(
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, B, T + 2 * H, C), jnp.bfloat16),
+            pltpu.VMEM((B, T, C), jnp.float32),
         ],
         compiler_params=None
         if interpret

@@ -110,20 +110,48 @@ def add_dur_loss_midi(
     word_boundary,
     losses: Dict,
     hp: HParams,
+    crf_transitions=None,
 ):
     """Phone(log-MSE) + word(boundary segments) + sentence duration losses
     (reference `DiffSingerMIDITask.add_dur_loss`,
-    `usr/diffsinger_task.py:518-564`)."""
+    `usr/diffsinger_task.py:518-564`). With dur_loss mog/crf the phone
+    term becomes the proper NLL (the reference only ships the mse path
+    for the MIDI tasks) and the scalar prediction used by the word/
+    sentence terms comes from the head's decode."""
     t_txt = txt_tokens.shape[1]
     nonpadding = (txt_tokens != 0).astype(jnp.float32)
     dur_gt = mel2ph_to_dur(mel2ph, t_txt) * nonpadding
 
-    pdur = (dur_pred_log - jnp.log(dur_gt + 1.0)) ** 2
-    losses["pdur"] = (
-        (pdur * nonpadding).sum() / jnp.maximum(nonpadding.sum(), 1.0)
-    ) * hp["lambda_ph_dur"]
+    dur_loss_type = hp.get("dur_loss", "mse")
+    if dur_pred_log.ndim == 3 and dur_loss_type == "mog":
+        from bisinger_tpu.models.predictors import mog_dur_nll
 
-    dur_pred = jnp.maximum(jnp.exp(dur_pred_log) - 1.0, 0.0)
+        losses["pdur"] = (
+            mog_dur_nll(dur_pred_log, dur_gt, mask=nonpadding) * hp["lambda_ph_dur"]
+        )
+        w, mu, _ = jnp.split(dur_pred_log, 3, axis=-1)
+        exp_log = (jax.nn.softmax(w, axis=-1) * mu).sum(-1)
+        dur_pred = jnp.maximum(jnp.exp(exp_log) - 1.0, 0.0)
+    elif dur_pred_log.ndim == 3 and dur_loss_type == "crf":
+        from bisinger_tpu.models.predictors import crf_log_likelihood
+
+        n_states = dur_pred_log.shape[-1]
+        tags = jnp.clip(dur_gt.astype(jnp.int32), 0, n_states - 1)
+        ll = crf_log_likelihood(
+            dur_pred_log, crf_transitions, tags, mask=nonpadding
+        )
+        denom = jnp.maximum(nonpadding.sum(), 1.0)
+        losses["pdur"] = (-ll.sum() / denom) * hp["lambda_ph_dur"]
+        # differentiable expectation over states for the word/sent terms
+        probs = jax.nn.softmax(dur_pred_log, axis=-1)
+        states = jnp.arange(n_states, dtype=jnp.float32)
+        dur_pred = (probs * states).sum(-1)
+    else:
+        pdur = (dur_pred_log - jnp.log(dur_gt + 1.0)) ** 2
+        losses["pdur"] = (
+            (pdur * nonpadding).sum() / jnp.maximum(nonpadding.sum(), 1.0)
+        ) * hp["lambda_ph_dur"]
+        dur_pred = jnp.maximum(jnp.exp(dur_pred_log) - 1.0, 0.0)
 
     if hp["lambda_word_dur"] > 0:
         wdb = word_boundary.astype(jnp.int32)

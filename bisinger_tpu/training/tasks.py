@@ -102,7 +102,7 @@ class AuxDecoderMIDITask:
         L.add_mel_loss(ret["mel_out"], batch["mels"], losses, hp)
         L.add_dur_loss_midi(
             ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch["word_boundary"],
-            losses, hp,
+            losses, hp, crf_transitions=ret.get("crf_transitions"),
         )
         if hp["use_pitch_embed"]:
             L.add_pitch_loss(ret, batch, losses, hp)
@@ -220,7 +220,7 @@ class DiffSingerMIDITask(AuxDecoderMIDITask):
         losses["mel"] = ret["diff_loss"]
         L.add_dur_loss_midi(
             ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch["word_boundary"],
-            losses, hp,
+            losses, hp, crf_transitions=ret.get("crf_transitions"),
         )
         if hp["use_pitch_embed"]:
             L.add_pitch_loss(ret, batch, losses, hp)

@@ -81,3 +81,22 @@ def test_crf_head_in_predictor():
     dur = dp.apply({"params": params}, xs, method=DurationPredictor.out2dur)
     assert dur.shape == (1, 6)
     assert ((np.asarray(dur) >= 0) & (np.asarray(dur) < 32)).all()
+
+
+def test_mog_and_crf_train_end_to_end():
+    """dur_loss=mog and =crf train through the full MIDI task (regression
+    for the unwired-loss crash: [B,T,15] vs [B,T] broadcast error)."""
+    from __graft_entry__ import _batch, _tiny_hp
+    from bisinger_tpu.training.tasks import AuxDecoderMIDITask
+
+    for dur_loss in ("mog", "crf"):
+        hp = _tiny_hp().replace(dur_loss=dur_loss)
+        task = AuxDecoderMIDITask(hp, 32)
+        batch = _batch(2, 16, 64, 32)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state, losses = task.train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(losses["total_loss"])), dur_loss
+        assert np.isfinite(float(losses["pdur"])), dur_loss
+        # inference decode works too
+        ret = task.infer_step(state.params, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(ret["mel_out"])).all(), dur_loss

@@ -7,6 +7,7 @@ import numpy as np
 
 from bisinger_tpu.inference.server import (
     serve,
+    split_score_chunks,
     split_text_chunks,
     synthesize_chunked,
     wav_bytes,
@@ -17,8 +18,7 @@ class FakeInfer:
     hp = {"audio_sample_rate": 24000}
 
     def infer_once(self, inp):
-        # deterministic length from text so chunk concat is observable
-        return np.zeros(1000 * max(1, len(inp["text"]) // 10), np.float32)
+        return np.zeros(1000, np.float32)  # fixed length per chunk
 
 
 def test_split_short_passthrough():
@@ -40,9 +40,51 @@ def test_wav_bytes_header():
 
 
 def test_synthesize_chunked_concats():
-    long_text = "。".join(["a" * 200] * 4)
-    wav = synthesize_chunked(FakeInfer(), {"text": long_text})
-    assert len(wav) > 1000
+    """Long scores split word-aligned: text, notes, and durations chunk
+    together (regression: text-only chunking broke the word/notes
+    pairing for every long request)."""
+    n = 10
+    inp = {
+        "text": " ".join(["la"] * n),
+        "notes": " | ".join(["C4"] * n),
+        "notes_duration": " | ".join(["0.3"] * n),
+    }
+    chunks = split_score_chunks(inp, max_words=4)
+    assert len(chunks) == 3
+    for c in chunks:
+        assert len(c["text"].split()) == len(c["notes"].split("|"))
+        assert len(c["notes"].split("|")) == len(c["notes_duration"].split("|"))
+    wav = synthesize_chunked(FakeInfer(), inp, max_words=4)
+    assert len(wav) == 3 * 1000  # three chunks concatenated
+
+
+def test_no_vocoder_rejected_over_http():
+    """A pipeline returning a mel (no vocoder) must yield 400, never a
+    spectrogram serialized as PCM."""
+    import numpy as np
+    import urllib.request
+
+    class MelOnly:
+        hp = {"audio_sample_rate": 24000}
+
+        def infer_once(self, inp):
+            return np.zeros((50, 80), np.float32)
+
+    httpd = serve(MelOnly(), host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=b'{"text": "la"}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"vocoder" in e.read()
+    finally:
+        httpd.shutdown()
 
 
 def test_http_roundtrip():
