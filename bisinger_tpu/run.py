@@ -52,6 +52,11 @@ def main(argv=None):
         action="store_true",
         help="ignore the config saved in the work dir (reference --reset)",
     )
+    parser.add_argument(
+        "--validate",
+        action="store_true",
+        help="run validation on the latest checkpoint and exit",
+    )
     args = parser.parse_args(argv)
 
     import json
@@ -103,6 +108,10 @@ def main(argv=None):
     else:
         task = task_cls(hp, encoder.vocab_size)
     trainer = Trainer(task, hp)
+    if args.validate:
+        val_loss = trainer.validate()
+        print(f"| validate: total_loss={val_loss:.4f}")
+        return 0
     trainer.fit(max_updates=args.max_updates or None)
     return 0
 

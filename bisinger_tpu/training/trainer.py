@@ -206,6 +206,25 @@ class Trainer:
                 )
         return state
 
+    def validate(self) -> float:
+        """Restore the latest checkpoint and run one full validation pass
+        (reference --validate flag)."""
+        import jax.random as jrandom
+
+        hp = self.hp
+        train_dl, valid_dl = self.build_dataloaders()
+        rng = jax.random.PRNGKey(hp["seed"])
+        first_batch = device_batch(next(iter(train_dl)))
+        with self.mesh:
+            state = self.task.init_state(rng, shard_batch(first_batch, self.mesh))
+            restored = self.ckpt.restore(jax.device_get(state))
+            if restored is not None:
+                state = restored
+                self.global_step = int(state.step)
+                print(f"| validating checkpoint at step {self.global_step}", flush=True)
+            state = jax.device_put(state, replicate_sharding(self.mesh))
+            return self._run_validation(state, valid_dl, rng=rng)
+
     def _pre_step(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         curriculum = getattr(self.task, "_curriculum", None)
         if curriculum is not None:
