@@ -227,13 +227,17 @@ def load_hparams(
     experiment config < `overrides` — matching the reference ordering
     (`hparams.py:69-96`) minus the work-dir persistence step.
     """
+    import copy
+
     from bisinger_tpu.config.defaults import DEFAULT_HPARAMS
 
     roots = list(search_roots or [])
     roots.append(os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "configs"))
     roots.append(os.getcwd())
 
-    cfg = _as_dict(base) if base is not None else dict(DEFAULT_HPARAMS)
+    # deep copy: dotted overrides write into nested dicts and must never
+    # mutate the module-global defaults (or a caller's base tree)
+    cfg = copy.deepcopy(_as_dict(base)) if base is not None else copy.deepcopy(DEFAULT_HPARAMS)
     if config_path is not None:
         path = _resolve_path(config_path, None, roots)
         cfg = _deep_merge(cfg, _load_config_file(path, roots))

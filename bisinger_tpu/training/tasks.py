@@ -110,22 +110,28 @@ class AuxDecoderMIDITask:
             L.add_energy_loss(ret["energy_pred"], batch["energy"], losses, hp)
         return losses
 
-    def _forward(self, params, batch, rng, deterministic: bool):
+    def _forward(self, params, batch, rng, deterministic: bool, drop_f0: bool = False):
         rngs = {"dropout": rng}
+        kwargs = _model_kwargs(batch, self.hp)
+        if drop_f0:
+            kwargs["f0"] = None
+            kwargs["uv"] = None
         return self.model.apply(
             {"params": params},
-            **_model_kwargs(batch, self.hp),
+            **kwargs,
             deterministic=deterministic,
             rngs=rngs,
         )
 
     # ---- steps -----------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    @functools.partial(
+        jax.jit, static_argnums=0, static_argnames=("drop_f0",), donate_argnums=1
+    )
     def train_step(
-        self, state: TrainState, batch: Dict[str, Any], rng
+        self, state: TrainState, batch: Dict[str, Any], rng, drop_f0: bool = False
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
-            ret = self._forward(params, batch, rng, deterministic=False)
+            ret = self._forward(params, batch, rng, deterministic=False, drop_f0=drop_f0)
             losses = self.compute_losses(ret, batch)
             return sum(losses.values()), losses
 
@@ -137,9 +143,9 @@ class AuxDecoderMIDITask:
         losses["grad_norm"] = optax_global_norm(grads)
         return state, losses
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def val_step(self, state: TrainState, batch: Dict[str, Any], rng):
-        ret = self._forward(state.params, batch, rng, deterministic=True)
+    @functools.partial(jax.jit, static_argnums=0, static_argnames=("drop_f0",))
+    def val_step(self, state: TrainState, batch: Dict[str, Any], rng, drop_f0: bool = False):
+        ret = self._forward(state.params, batch, rng, deterministic=True, drop_f0=drop_f0)
         losses = self.compute_losses(ret, batch)
         losses["total_loss"] = sum(losses.values())
         return losses
@@ -192,23 +198,23 @@ class DiffSingerMIDITask(AuxDecoderMIDITask):
             self.tx = build_optimizer(self.hp, schedule=self.schedule, trainable_mask=mask)
         return TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
 
-    def _curriculum(self, batch: Dict[str, Any], step: Optional[int]) -> Dict[str, Any]:
-        """switch_midi2f0_step: past N updates, stop feeding gt f0/uv
-        (`usr/diffsinger_task.py:391-399`). Python-level branch — two
-        compiled variants."""
-        hp = self.hp
-        sw = hp.get("switch_midi2f0_step")
-        if sw is not None and step is not None and step > sw:
-            batch = dict(batch)
-            batch["f0"] = None
-            batch["uv"] = None
-        return batch
+    def step_flags(self, step: Optional[int]) -> Dict[str, Any]:
+        """switch_midi2f0_step: past N updates, stop FEEDING gt f0/uv to
+        the model (`usr/diffsinger_task.py:391-399`) — they stay in the
+        batch as pitch-loss targets. Returned as a STATIC jit kwarg, so
+        there are exactly two compiled variants."""
+        sw = self.hp.get("switch_midi2f0_step")
+        return {"drop_f0": bool(sw is not None and step is not None and step > sw)}
 
-    def _forward(self, params, batch, rng, deterministic: bool):
+    def _forward(self, params, batch, rng, deterministic: bool, drop_f0: bool = False):
         rng_drop, rng_diff = jax.random.split(rng)
+        kwargs = _model_kwargs(batch, self.hp)
+        if drop_f0:
+            kwargs["f0"] = None
+            kwargs["uv"] = None
         return self.model.apply(
             {"params": params},
-            **_model_kwargs(batch, self.hp),
+            **kwargs,
             deterministic=deterministic,
             rng=rng_diff,
             rngs={"dropout": rng_drop, "diffusion": rng_diff},
@@ -240,12 +246,13 @@ class DiffSingerMIDITask(AuxDecoderMIDITask):
     @functools.partial(jax.jit, static_argnums=0)
     def infer_step(self, params, batch: Dict[str, Any], rng):
         kwargs = _model_kwargs(batch, self.hp)
+        kwargs["mel2ph"] = None  # durations come from the predictor
         kwargs["f0"] = None
         kwargs["uv"] = None
         kwargs["ref_mels"] = None
         return self.model.apply(
             {"params": params}, **kwargs, infer=True, rng=rng,
-            rngs={"diffusion": rng},
+            max_frames=batch["mels"].shape[1], rngs={"diffusion": rng},
         )
 
 
@@ -335,10 +342,13 @@ class DiffSingerOfflineTask(DiffSingerMIDITask):
             out_dims=self.hp["audio_num_mel_bins"],
         )
 
-    def _forward(self, params, batch, rng, deterministic: bool):
+    def _forward(self, params, batch, rng, deterministic: bool, drop_f0: bool = False):
         rng_drop, rng_diff = jax.random.split(rng)
         kwargs = _model_kwargs(batch, self.hp)
         kwargs["ref_mels"] = (batch["mels"], batch["fs2_mels"])
+        if drop_f0:
+            kwargs["f0"] = None
+            kwargs["uv"] = None
         return self.model.apply(
             {"params": params}, **kwargs, deterministic=deterministic,
             rng=rng_diff, rngs={"dropout": rng_drop, "diffusion": rng_diff},

@@ -23,7 +23,12 @@ import numpy as np
 
 from bisinger_tpu.config import HParams
 from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
-from bisinger_tpu.parallel import make_mesh, replicate_sharding, shard_batch
+from bisinger_tpu.parallel import (
+    global_batch_from_process_local,
+    make_mesh,
+    replicate_sharding,
+    shard_batch,
+)
 from bisinger_tpu.training.checkpoints import CheckpointManager
 from bisinger_tpu.utils.text_encoder import build_phone_encoder
 
@@ -176,10 +181,11 @@ class Trainer:
                     pending = None
                 else:
                     batch = device_batch(next(train_iter))
-                batch = self._pre_step(batch)
-                batch = shard_batch(batch, self.mesh)
+                batch = self._shard(batch)
                 rng, step_rng = jax.random.split(rng)
-                state, metrics = self.task.train_step(state, batch, step_rng)
+                state, metrics = self.task.train_step(
+                    state, batch, step_rng, **self._step_flags()
+                )
                 self.global_step += 1
                 meter.update(jax.device_get(metrics))
 
@@ -225,11 +231,17 @@ class Trainer:
             state = jax.device_put(state, replicate_sharding(self.mesh))
             return self._run_validation(state, valid_dl, rng=rng)
 
-    def _pre_step(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        curriculum = getattr(self.task, "_curriculum", None)
-        if curriculum is not None:
-            batch = curriculum(batch, self.global_step)
-        return batch
+    def _step_flags(self) -> Dict[str, Any]:
+        flags = getattr(self.task, "step_flags", None)
+        return flags(self.global_step) if flags is not None else {}
+
+    def _shard(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Single-host: device_put onto the mesh. Multi-host: each
+        process feeds its own disjoint shard, assembled into the global
+        array (`parallel.global_batch_from_process_local`)."""
+        if jax.process_count() > 1:
+            return global_batch_from_process_local(batch, self.mesh)
+        return shard_batch(batch, self.mesh)
 
     def _run_validation(self, state, valid_dl, limit: Optional[int] = None, rng=None) -> float:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -238,9 +250,10 @@ class Trainer:
             if limit is not None and i >= limit:
                 break
             batch = device_batch(batch)
-            batch = self._pre_step(batch)
             n = batch["txt_tokens"].shape[0]
-            losses = self.task.val_step(state, shard_batch(batch, self.mesh), rng)
+            losses = self.task.val_step(
+                state, self._shard(batch), rng, **self._step_flags()
+            )
             meter.update(jax.device_get(losses), n)
             if i == 0:
                 self._log_val_media(state, batch, rng)

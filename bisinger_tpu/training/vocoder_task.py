@@ -118,7 +118,7 @@ class HifiGanTask:
         rng,
     ):
         mel, f0, wav = batch["mels"], batch["f0"], batch["wav"]
-        rng_g, rng_d = jax.random.split(rng)
+        rng_g, _ = jax.random.split(rng)  # one fake per step (reference behavior)
 
         # ---- discriminator update ----
         wav_fake = jax.lax.stop_gradient(

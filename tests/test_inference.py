@@ -116,3 +116,29 @@ class TestEndToEnd:
         out = infer.infer_from_json(json_fn, str(tmp_path / "out"))
         assert len(out) == 1
         assert os.path.exists(out[0])
+
+
+def test_infer_step_uses_predicted_durations():
+    """Regression: infer_step must NOT condition on the batch's all-zero
+    mel2ph (that produced ~1-frame silent audio); with the duration
+    predictor biased positive, predicted durations must fill frames."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _batch, _tiny_hp
+    from bisinger_tpu.training.tasks import DiffSingerMIDITask
+
+    hp = _tiny_hp()
+    task = DiffSingerMIDITask(hp, 32)
+    batch = _batch(2, 16, 64, 32)
+    batch["mel2ph"] = np.zeros_like(batch["mel2ph"])  # as SVSInfer builds it
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    # bias the dur head: exp(2)-1 ~ 6 frames per phone
+    params = jax.tree.map(lambda x: x, state.params)
+    params["fs2"]["dur_predictor"]["linear"]["bias"] = jnp.full_like(
+        params["fs2"]["dur_predictor"]["linear"]["bias"], 2.0
+    )
+    ret = task.infer_step(params, batch, jax.random.PRNGKey(1))
+    mel2ph = np.asarray(ret["mel2ph"])
+    assert (mel2ph > 0).sum() > 2 * 16  # many frames assigned to phones

@@ -281,3 +281,42 @@ def test_energy_embed_path(tiny_env):
     state = task.init_state(jax.random.PRNGKey(0), batch)
     state, losses = task.train_step(state, batch, jax.random.PRNGKey(1))
     assert "e" in losses and np.isfinite(float(losses["e"]))  # energy MSE
+
+
+def test_switch_midi2f0_curriculum(tiny_env):
+    """Past switch_midi2f0_step the model stops RECEIVING gt f0/uv while
+    the pitch loss keeps its targets (regression: nulling batch f0/uv
+    crashed the loss; reference usr/diffsinger_task.py:391-399)."""
+    import jax
+    import numpy as np
+
+    from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+    from bisinger_tpu.training.tasks import DiffSingerMIDITask
+    from bisinger_tpu.training.trainer import device_batch
+    from bisinger_tpu.utils.text_encoder import build_phone_encoder
+
+    hp = tiny_env.replace(switch_midi2f0_step=2, use_pitch_embed=True)
+    vocab_size = build_phone_encoder(hp["binary_data_dir"]).vocab_size
+    task = DiffSingerMIDITask(hp, vocab_size)
+    batch = device_batch(next(iter(DataLoader(M4SingerDataset(hp, "train"), hp))))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+
+    assert task.step_flags(1) == {"drop_f0": False}
+    assert task.step_flags(5) == {"drop_f0": True}
+    # post-switch step must still train with a finite pitch loss
+    state, losses = task.train_step(state, batch, jax.random.PRNGKey(1), drop_f0=True)
+    assert np.isfinite(float(losses["total_loss"]))
+    assert "f0" in losses or "uv" in losses  # pitch supervision intact
+
+
+def test_hparams_defaults_not_mutated_by_nested_override():
+    """Dotted overrides must not write into the module-global defaults."""
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.config.defaults import DEFAULT_HPARAMS
+
+    before = DEFAULT_HPARAMS["binarization_args"]["with_wav"]
+    hp = load_hparams(overrides="binarization_args.with_wav=true")
+    assert hp["binarization_args"]["with_wav"] is True
+    assert DEFAULT_HPARAMS["binarization_args"]["with_wav"] == before
+    hp2 = load_hparams()
+    assert hp2["binarization_args"]["with_wav"] == before
