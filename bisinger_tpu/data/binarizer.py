@@ -398,6 +398,7 @@ class TextGridBinarizer(M4SingerBinarizer):
                     "txt": song["txt"],
                     "ph": song["ph"] if isinstance(song["ph"], str) else " ".join(song["ph"]),
                     "spk": song.get("spk", name.split("#")[0]),
+                    "lang": song.get("lang", 1),
                 }
         self.item_names = sorted(self.items.keys())
 
@@ -410,7 +411,8 @@ class TextGridBinarizer(M4SingerBinarizer):
             tg_text, item["ph"], n_frames, self.hp["hop_size"],
             self.hp["audio_sample_rate"],
         )
-        if self.hp["binarization_args"].get("fix_zh_dur"):
+        if self.hp["binarization_args"].get("fix_zh_dur") and item.get("lang", 1) == 1:
+            # pinyin-phone Chinese items only (see fix_zh_durations docs)
             mel2ph = fix_zh_durations(mel2ph, item["ph"].split(" "), f0=f0)
         return mel2ph
 

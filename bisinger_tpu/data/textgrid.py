@@ -132,6 +132,14 @@ def fix_zh_durations(
          leading VOICED frames (f0 != 0) move to the preceding yunmu;
          separators left shorter than 100 frames merge entirely;
       2. each (shengmu, yunmu) pair is equalized to half of its total.
+
+    ONLY for corpora whose phones are raw pinyin shengmu/yunmu (the
+    reference ZhBinarizer operates downstream of the zh_g2pM processor).
+    CMU-phone corpora — including BiSinger's unified bilingual set —
+    must not enable this: single-letter CMU consonants ('B', 'D', ...)
+    collide with pinyin initials, so the gate below additionally
+    requires the yunmu to be a pinyin final, and callers should gate on
+    the item's language.
     """
     from bisinger_tpu.data.text.pinyin import INITIALS
 

@@ -77,18 +77,27 @@ class SVSInfer:
         # PE for f0 re-estimation (reference builds it from pe_ckpt when
         # pe_enable, `usr/diffsinger_task.py:36-40`)
         pe_dir = hp.get("pe_ckpt", "")
-        if hp.get("pe_enable") and pe_dir and os.path.isdir(os.path.join(pe_dir, "ckpt")):
-            from bisinger_tpu.training.tasks import PitchExtractionTask
+        if hp.get("pe_enable"):
+            pe_restored = None
+            if pe_dir and os.path.isdir(os.path.join(pe_dir, "ckpt")):
+                from bisinger_tpu.training.tasks import PitchExtractionTask
 
-            pe_task = PitchExtractionTask(hp)
-            pe_state = pe_task.init_state(
-                jax.random.PRNGKey(0), {"mels": dummy["mels"], "f0": dummy["f0"], "uv": dummy["uv"]}
-            )
-            pe_mgr = CheckpointManager(os.path.join(pe_dir, "ckpt"))
-            pe_restored = pe_mgr.restore(jax.device_get(pe_state))
-            if pe_restored is not None:
-                inst.pe_params = pe_restored.params
-                inst.pe_task = pe_task
+                pe_task = PitchExtractionTask(hp)
+                pe_state = pe_task.init_state(
+                    jax.random.PRNGKey(0),
+                    {"mels": dummy["mels"], "f0": dummy["f0"], "uv": dummy["uv"]},
+                )
+                pe_mgr = CheckpointManager(os.path.join(pe_dir, "ckpt"))
+                pe_restored = pe_mgr.restore(jax.device_get(pe_state))
+                if pe_restored is not None:
+                    inst.pe_params = pe_restored.params
+                    inst.pe_task = pe_task
+            if pe_restored is None:
+                print(
+                    f"| WARNING: pe_enable set but no PE checkpoint under "
+                    f"{pe_dir!r}; falling back to the model's own f0",
+                    flush=True,
+                )
         return inst
 
     def _dummy_batch(self) -> Dict[str, Any]:

@@ -64,8 +64,8 @@ def split_score_chunks(
     consistent chunks — chunking only the lyrics would break the
     frontend's word/notes pairing."""
     words = inp.get("text", "").split()
-    notes = [g.strip() for g in inp.get("notes", "").split("|")]
-    durs = [g.strip() for g in inp.get("notes_duration", "").split("|")]
+    notes = [g.strip() for g in inp.get("notes", "").split("|") if g.strip()]
+    durs = [g.strip() for g in inp.get("notes_duration", "").split("|") if g.strip()]
     if len(words) <= max_words or len(words) != len(notes) or len(notes) != len(durs):
         # short, or malformed (let the frontend raise its precise error)
         return [inp]
@@ -231,6 +231,13 @@ def main(argv: Optional[List[str]] = None):
         from bisinger_tpu.vocoders.hifigan import HifiGAN
 
         vocoder = HifiGAN(hp)
+        if not vocoder.loaded:
+            print(
+                f"| WARNING: no generator checkpoint under "
+                f"{hp['vocoder_ckpt']!r}; serving mels is disabled",
+                file=__import__("sys").stderr,
+            )
+            vocoder = None
     infer = SVSInfer.from_work_dir(hp, hp["work_dir"], vocoder=vocoder)
     httpd = serve(infer, args.host, args.port)
     print(f"| serving on http://{args.host}:{args.port}")

@@ -197,7 +197,7 @@ class FastSpeech2(nn.Module):
             )
         else:
             ret["dur"] = self.dur_predictor(dur_inp, src_padding)
-        if self.dur_predictor.odims == 32:
+        if hp.get("dur_loss") == "crf":
             # the CRF NLL (computed in the task loss) needs the learned
             # transition matrix
             ret["crf_transitions"] = self.dur_predictor.crf_transitions

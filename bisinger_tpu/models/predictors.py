@@ -93,8 +93,7 @@ class DurationPredictor(nn.Module):
                 jnp.round(jnp.exp(xs) - self.offset), 0.0
             ).astype(jnp.int32)
         if self.odims == 15:  # MoG: 5 x (weight logit, mu, log_sigma)
-            w, mu, _ = jnp.split(xs, 3, axis=-1)
-            exp_log = (jax.nn.softmax(w, axis=-1) * mu).sum(-1)
+            exp_log = mog_expected_log_dur(xs)
             return jnp.maximum(
                 jnp.round(jnp.exp(exp_log) - self.offset), 0.0
             ).astype(jnp.int32)
@@ -153,6 +152,14 @@ def crf_log_likelihood(emissions, transitions, tags, mask=None):
     alpha, _ = jax.lax.scan(step, em[0], (em[1:], mk[1:]))
     log_z = jax.nn.logsumexp(alpha, axis=-1)
     return em_score + tr_score - log_z
+
+
+def mog_expected_log_dur(xs):
+    """Differentiable mixture expectation over the log-duration domain
+    (shared by out2dur decode and the training word/sentence terms so the
+    two can never drift apart)."""
+    w, mu, _ = jnp.split(xs, 3, axis=-1)
+    return (jax.nn.softmax(w, axis=-1) * mu).sum(-1)
 
 
 def mog_dur_nll(xs, dur_gt, offset: float = 1.0, mask=None):

@@ -124,17 +124,19 @@ def add_dur_loss_midi(
 
     dur_loss_type = hp.get("dur_loss", "mse")
     if dur_pred_log.ndim == 3 and dur_loss_type == "mog":
-        from bisinger_tpu.models.predictors import mog_dur_nll
+        from bisinger_tpu.models.predictors import mog_dur_nll, mog_expected_log_dur
 
         losses["pdur"] = (
             mog_dur_nll(dur_pred_log, dur_gt, mask=nonpadding) * hp["lambda_ph_dur"]
         )
-        w, mu, _ = jnp.split(dur_pred_log, 3, axis=-1)
-        exp_log = (jax.nn.softmax(w, axis=-1) * mu).sum(-1)
-        dur_pred = jnp.maximum(jnp.exp(exp_log) - 1.0, 0.0)
+        dur_pred = jnp.maximum(jnp.exp(mog_expected_log_dur(dur_pred_log)) - 1.0, 0.0)
     elif dur_pred_log.ndim == 3 and dur_loss_type == "crf":
         from bisinger_tpu.models.predictors import crf_log_likelihood
 
+        # CRF states ARE frame counts, capped at n_states-1 = 31 frames
+        # exactly like the reference's torchcrf head (tts_modules.py:102-105)
+        # — suitable for speech; singing durations exceed it, so SVS
+        # configs should keep dur_loss: mse
         n_states = dur_pred_log.shape[-1]
         tags = jnp.clip(dur_gt.astype(jnp.int32), 0, n_states - 1)
         ll = crf_log_likelihood(

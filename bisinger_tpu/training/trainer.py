@@ -157,7 +157,7 @@ class Trainer:
         first_batch = device_batch(next(train_iter))
         with self.mesh:
             rng, init_rng = jax.random.split(rng)
-            state = self.task.init_state(init_rng, shard_batch(first_batch, self.mesh))
+            state = self.task.init_state(init_rng, self._shard(first_batch))
 
             # resume
             restored = self.ckpt.restore(jax.device_get(state))
@@ -222,12 +222,15 @@ class Trainer:
         rng = jax.random.PRNGKey(hp["seed"])
         first_batch = device_batch(next(iter(train_dl)))
         with self.mesh:
-            state = self.task.init_state(rng, shard_batch(first_batch, self.mesh))
+            state = self.task.init_state(rng, self._shard(first_batch))
             restored = self.ckpt.restore(jax.device_get(state))
-            if restored is not None:
-                state = restored
-                self.global_step = int(state.step)
-                print(f"| validating checkpoint at step {self.global_step}", flush=True)
+            if restored is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {self.work_dir!r} to validate"
+                )
+            state = restored
+            self.global_step = int(state.step)
+            print(f"| validating checkpoint at step {self.global_step}", flush=True)
             state = jax.device_put(state, replicate_sharding(self.mesh))
             return self._run_validation(state, valid_dl, rng=rng)
 

@@ -30,6 +30,7 @@ class HifiGAN(BaseVocoder):
     def __init__(self, hp: HParams, params=None):
         self.hp = hp
         self.model = HifiGanGenerator(hp=hp)
+        self.loaded = params is not None
         self.params = params if params is not None else self.load_params(hp)
 
     # ---- checkpoint loading ----------------------------------------------
@@ -38,6 +39,7 @@ class HifiGAN(BaseVocoder):
         if base_dir and os.path.isdir(base_dir):
             npz = sorted(glob.glob(os.path.join(base_dir, "generator_*.npz")))
             if npz:
+                self.loaded = True
                 return unflatten_params(dict(np.load(npz[-1], allow_pickle=False)))
         # fall back to random init (e.g. before vocoder training ran)
         t = 8
