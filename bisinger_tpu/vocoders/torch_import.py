@@ -1,0 +1,123 @@
+"""Import reference torch HiFi-GAN checkpoints into flax params.
+
+Converts the reference checkpoint layouts (`vocoders/hifigan.py:17-33`:
+yaml-trained `state_dict.model_gen`, or the official hifi-gan
+`generator` dict) into the parameter tree of
+`bisinger_tpu.models.hifigan.HifiGanGenerator` so reference-trained
+vocoders can drive this framework for parity testing.
+
+Conversion rules (validated numerically against torch on CPU — see
+tests/test_torch_import.py):
+
+  - Conv1d weight [out, in, k]        -> flax Conv kernel [k, in, out]
+  - ConvTranspose1d weight [in,out,k] -> flax ConvTranspose (SAME,
+    default transpose_kernel=False) kernel = flip_k then [k, in, out]
+  - Linear weight [out, in]           -> flax Dense kernel [in, out]
+  - weight-norm checkpoints store weight_g/weight_v; fold them first:
+    w = g * v / ||v||_{dims!=0} (reference removes weight norm at
+    inference, `modules/hifigan/hifigan.py:175-182`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold `<name>.weight_g` + `<name>.weight_v` -> `<name>.weight`."""
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        if key.endswith(".weight_v"):
+            base = key[: -len(".weight_v")]
+            g = np.asarray(sd[base + ".weight_g"], np.float32)
+            v = np.asarray(val, np.float32)
+            norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+            out[base + ".weight"] = g * v / np.maximum(norm, 1e-12)
+        elif key.endswith(".weight_g"):
+            continue
+        else:
+            out[key] = np.asarray(val)
+    return out
+
+
+def _conv(sd, name):
+    w = sd[name + ".weight"]  # [out, in, k]
+    p = {"kernel": w.transpose(2, 1, 0).copy()}
+    if name + ".bias" in sd:
+        p["bias"] = sd[name + ".bias"]
+    return p
+
+
+def _conv_transpose(sd, name):
+    w = sd[name + ".weight"]  # [in, out, k]
+    p = {"kernel": w[:, :, ::-1].transpose(2, 0, 1).copy()}
+    if name + ".bias" in sd:
+        p["bias"] = sd[name + ".bias"]
+    return p
+
+
+def _dense(sd, name):
+    w = sd[name + ".weight"]  # [out, in]
+    p = {"kernel": w.transpose(1, 0).copy()}
+    if name + ".bias" in sd:
+        p["bias"] = sd[name + ".bias"]
+    return p
+
+
+def import_hifigan_generator(state_dict: Dict[str, Any], hp) -> Dict[str, Any]:
+    """Torch generator state dict -> flax HifiGanGenerator params."""
+    sd = fold_weight_norm(
+        {k: np.asarray(v) for k, v in state_dict.items()}
+    )
+    n_up = len(hp["upsample_rates"])
+    n_k = len(hp["resblock_kernel_sizes"])
+    n_dil = len(hp["resblock_dilation_sizes"][0])
+
+    params: Dict[str, Any] = {}
+    params["conv_pre"] = _conv(sd, "conv_pre")
+    params["conv_post"] = _conv(sd, "conv_post")
+    for i in range(n_up):
+        params[f"up_{i}"] = _conv_transpose(sd, f"ups.{i}")
+        for j in range(n_k):
+            blk: Dict[str, Any] = {}
+            tname = f"resblocks.{i * n_k + j}"
+            for d in range(n_dil):
+                if f"{tname}.convs1.{d}.weight" in sd:  # ResBlock1
+                    blk[f"conv1_{d}"] = _conv(sd, f"{tname}.convs1.{d}")
+                    blk[f"conv2_{d}"] = _conv(sd, f"{tname}.convs2.{d}")
+                else:  # ResBlock2
+                    blk[f"conv_{d}"] = _conv(sd, f"{tname}.convs.{d}")
+            params[f"res_{i}_{j}"] = blk
+        if f"noise_convs.{i}.weight" in sd:
+            params[f"noise_conv_{i}"] = _conv(sd, f"noise_convs.{i}")
+        for norm_name in (f"noise_norms.{i}", f"noise_norm.{i}"):
+            if f"{norm_name}.weight" in sd:
+                params[f"noise_norm_{i}"] = {
+                    "scale": sd[f"{norm_name}.weight"],
+                    "bias": sd[f"{norm_name}.bias"],
+                }
+    if "m_source.l_linear.weight" in sd:
+        params["m_source"] = {"merge": _dense(sd, "m_source.l_linear")}
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch .ckpt/.pt file and return the generator state dict
+    (`state_dict.model_gen` or `generator` naming, reference
+    `vocoders/hifigan.py:17-33`)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in ckpt and "model_gen" in ckpt["state_dict"]:
+        sd = ckpt["state_dict"]["model_gen"]
+    elif "generator" in ckpt:
+        sd = ckpt["generator"]
+    elif "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    else:
+        sd = ckpt
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
