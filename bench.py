@@ -76,6 +76,8 @@ def main():
             # BENCH_SAMPLER=dpmpp for the fast ODE sampler
             diff_sampler=os.environ.get("BENCH_SAMPLER", "plms"),
             dpm_steps=int(os.environ.get("BENCH_DPM_STEPS", 40)),
+            # exact time-folded MRF stages (see ops/time_fold.py)
+            vocoder_time_fold=int(os.environ.get("BENCH_VOC_FOLD", 4)),
         )
     )
 

@@ -107,6 +107,58 @@ class SourceModuleHnNSF(nn.Module):
 # --------------------------------------------------------------------------
 # Generator
 # --------------------------------------------------------------------------
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for nn.Conv — same {kernel, bias} tree so
+    checkpoints and the torch importer stay compatible — used by the
+    time-folded resblock which applies the weights itself."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", conv_init, (self.kernel_size, self.features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class FoldedResBlock1(nn.Module):
+    """ResBlock1 computed in time-folded space [B, T/f, f*C] with
+    exactly-equivalent folded weights (`ops/time_fold.py`): the narrow-C
+    tail stages fill the MXU's 128 lanes instead of C of them. Same
+    parameter tree as ResBlock1. Input/output are ALREADY folded."""
+
+    channels: int
+    fold: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xf):
+        from bisinger_tpu.ops.time_fold import fold_conv_weight, folded_conv
+
+        for i, d in enumerate(self.dilations):
+            w1, b1 = _ConvParams(
+                self.channels, self.kernel_size, name=f"conv1_{i}"
+            )()
+            w2, b2 = _ConvParams(
+                self.channels, self.kernel_size, name=f"conv2_{i}"
+            )()
+            y = nn.leaky_relu(xf, LRELU_SLOPE)
+            wf, bf, pad = fold_conv_weight(
+                w1.astype(self.dtype), b1, self.fold, dilation=d
+            )
+            y = folded_conv(y.astype(self.dtype), wf, bf, pad)
+            y = nn.leaky_relu(y, LRELU_SLOPE)
+            wf, bf, pad = fold_conv_weight(w2.astype(self.dtype), b2, self.fold)
+            y = folded_conv(y.astype(self.dtype), wf, bf, pad)
+            xf = xf + y
+        return xf
+
+
 class ResBlock1(nn.Module):
     """MRF residual block: 3x (lrelu->dilated conv->lrelu->conv)
     (reference `hifigan.py:30-67`)."""
@@ -227,13 +279,41 @@ class HifiGanGenerator(nn.Module):
                 xs = jax.nn.relu(xs)
                 xs = nn.LayerNorm(name=f"noise_norm_{i}")(xs)
                 x = x + xs[:, : x.shape[1]]
-            mrf = 0.0
-            for j, (ksz, dil) in enumerate(zip(rk, rd)):
-                mrf = mrf + resblock(
-                    channels=c_cur, kernel_size=ksz, dilations=dil, dtype=dtype,
-                    name=f"res_{i}_{j}"
-                )(x)
-            x = mrf / len(rk)
+            # time-fold narrow-channel MRF stages so every conv fills the
+            # MXU lanes (exact rewrite of the same arithmetic; see
+            # ops/time_fold.py). Fold factor brings channels to >=128.
+            fold = 1
+            if (
+                hp.get("vocoder_time_fold")
+                and resblock is ResBlock1
+                and c_cur < 128
+                and not self.is_initializing()
+            ):
+                fold = min(int(hp["vocoder_time_fold"]), 128 // c_cur)
+                if x.shape[1] % fold != 0:
+                    fold = 1
+            if fold > 1:
+                # folding multiplies FLOPs by ~kf*f/k but quadruples MXU
+                # lane utilization — measured faster even for k=3 blocks,
+                # so the whole MRF stage runs folded
+                from bisinger_tpu.ops.time_fold import fold_time, unfold_time
+
+                xf = fold_time(x, fold)
+                mrf = 0.0
+                for j, (ksz, dil) in enumerate(zip(rk, rd)):
+                    mrf = mrf + FoldedResBlock1(
+                        channels=c_cur, fold=fold, kernel_size=ksz,
+                        dilations=dil, dtype=dtype, name=f"res_{i}_{j}",
+                    )(xf)
+                x = unfold_time(mrf / len(rk), fold)
+            else:
+                mrf = 0.0
+                for j, (ksz, dil) in enumerate(zip(rk, rd)):
+                    mrf = mrf + resblock(
+                        channels=c_cur, kernel_size=ksz, dilations=dil, dtype=dtype,
+                        name=f"res_{i}_{j}"
+                    )(x)
+                x = mrf / len(rk)
         x = nn.leaky_relu(x)
         x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=conv_init,
                     name="conv_post")(x.astype(jnp.float32))
