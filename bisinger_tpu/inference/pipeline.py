@@ -195,18 +195,20 @@ class SVSInfer:
         items = [self.frontend(inp, self.spk_map) for inp in inputs]
         batch = self.items_to_batch(items)
         out = self.forward_model(batch, rng)
-        results = []
-        for b in range(len(items)):
-            mel = out["mel_out"][b]
-            n_frames = max(int((out["mel2ph"][b] > 0).sum()), 1)
-            mel = mel[:n_frames]
-            f0 = out.get("f0_pred")
-            f0 = f0[b][:n_frames] if f0 is not None else None
-            if self.vocoder is not None:
-                results.append(self.vocoder.spec2wav(mel, f0))
-            else:
-                results.append(mel)
-        return results
+        n_frames = [
+            max(int((out["mel2ph"][b] > 0).sum()), 1) for b in range(len(items))
+        ]
+        if self.vocoder is not None:
+            # vocode the bucket-padded batch in ONE program (per-item
+            # exact-length calls would recompile per unique length), then
+            # trim each wav to its frame count
+            f0s = out.get("f0_pred")
+            if f0s is None:
+                f0s = np.zeros(out["mel_out"].shape[:2], np.float32)
+            wavs = self.vocoder.spec2wav_batch(out["mel_out"], f0s)
+            hop = self.hp["hop_size"]
+            return [wavs[b][: n_frames[b] * hop] for b in range(len(items))]
+        return [out["mel_out"][b][: n_frames[b]] for b in range(len(items))]
 
     def infer_from_json(
         self,

@@ -149,11 +149,13 @@ class FoldedResBlock1(nn.Module):
             )()
             y = nn.leaky_relu(xf, LRELU_SLOPE)
             wf, bf, pad = fold_conv_weight(
-                w1.astype(self.dtype), b1, self.fold, dilation=d
+                w1.astype(self.dtype), b1.astype(self.dtype), self.fold, dilation=d
             )
             y = folded_conv(y.astype(self.dtype), wf, bf, pad)
             y = nn.leaky_relu(y, LRELU_SLOPE)
-            wf, bf, pad = fold_conv_weight(w2.astype(self.dtype), b2, self.fold)
+            wf, bf, pad = fold_conv_weight(
+                w2.astype(self.dtype), b2.astype(self.dtype), self.fold
+            )
             y = folded_conv(y.astype(self.dtype), wf, bf, pad)
             xf = xf + y
         return xf
@@ -292,28 +294,31 @@ class HifiGanGenerator(nn.Module):
                 fold = min(int(hp["vocoder_time_fold"]), 128 // c_cur)
                 if x.shape[1] % fold != 0:
                     fold = 1
+            # folding multiplies FLOPs by ~kf*f/k but quadruples MXU lane
+            # utilization — measured faster even for k=3 blocks, so when
+            # enabled the whole MRF stage runs folded (exact rewrite)
             if fold > 1:
-                # folding multiplies FLOPs by ~kf*f/k but quadruples MXU
-                # lane utilization — measured faster even for k=3 blocks,
-                # so the whole MRF stage runs folded
                 from bisinger_tpu.ops.time_fold import fold_time, unfold_time
 
-                xf = fold_time(x, fold)
-                mrf = 0.0
-                for j, (ksz, dil) in enumerate(zip(rk, rd)):
-                    mrf = mrf + FoldedResBlock1(
+                x_in = fold_time(x, fold)
+            else:
+                x_in = x
+            mrf = 0.0
+            for j, (ksz, dil) in enumerate(zip(rk, rd)):
+                if fold > 1:
+                    block = FoldedResBlock1(
                         channels=c_cur, fold=fold, kernel_size=ksz,
                         dilations=dil, dtype=dtype, name=f"res_{i}_{j}",
-                    )(xf)
-                x = unfold_time(mrf / len(rk), fold)
-            else:
-                mrf = 0.0
-                for j, (ksz, dil) in enumerate(zip(rk, rd)):
-                    mrf = mrf + resblock(
-                        channels=c_cur, kernel_size=ksz, dilations=dil, dtype=dtype,
-                        name=f"res_{i}_{j}"
-                    )(x)
-                x = mrf / len(rk)
+                    )
+                else:
+                    block = resblock(
+                        channels=c_cur, kernel_size=ksz, dilations=dil,
+                        dtype=dtype, name=f"res_{i}_{j}",
+                    )
+                mrf = mrf + block(x_in)
+            x = mrf / len(rk)
+            if fold > 1:
+                x = unfold_time(x, fold)
         x = nn.leaky_relu(x)
         x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=conv_init,
                     name="conv_post")(x.astype(jnp.float32))

@@ -9,8 +9,9 @@ measured; see BASELINE.md). Folding time into channels,
 turns each conv k over T into an EXACTLY equivalent conv k' over T/f at
 f*C channels (a permutation of the same arithmetic), restoring full lane
 utilization. The folded kernel is a sparse rearrangement of the original
-weights, computed once per parameter set (XLA constant-folds it at
-compile time when params are static).
+weights (one static gather), recomputed inside each forward — cheap next
+to the convs at inference, but training the vocoder should leave the
+fold off so weights aren't rebuilt every step.
 
 Derivation: y[f*u + r] = sum_j x[f*u + r + j - D] W[j]  (SAME, D=(k-1)//2)
 with m = r + j - D = f*q + s  ->  y'[u, r*C+co] += x'[u+q, s*C+ci] W'[...]

@@ -65,6 +65,25 @@ class HifiGAN(BaseVocoder):
     def _forward_no_f0(self, params, mel):
         return self.model.apply({"params": params}, mel)
 
+    def spec2wav_batch(self, mels, f0s=None, rng=None):
+        """Batched [B, T, 80] (+ f0 [B, T]) -> wav [B, T*hop]: ONE device
+        program for the whole batch (per-item exact-length calls would
+        recompile per unique length)."""
+        mels = jnp.asarray(mels)
+        if f0s is not None and self.hp.get("use_nsf"):
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            wav = self._forward(self.params, mels, jnp.asarray(f0s), rng)
+        else:
+            wav = self._forward_no_f0(self.params, mels)
+        out = np.asarray(wav, dtype=np.float32)
+        if self.hp.get("use_denoise"):
+            from bisinger_tpu.vocoders.vocoder_utils import denoise
+
+            out = np.stack(
+                [denoise(w, v=float(self.hp.get("denoise_v", 0.002)), hp=self.hp) for w in out]
+            )
+        return out
+
     def spec2wav(self, mel, f0=None, rng=None):
         """mel [T, 80] (+ f0 [T]) -> wav [T*hop] (reference
         `HifiGAN.spec2wav:55-69`)."""

@@ -120,4 +120,8 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         sd = ckpt["state_dict"]
     else:
         sd = ckpt
-    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    out = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    # lightning-style flat dicts prefix generator keys with 'model_gen.'
+    if out and all(k.startswith("model_gen.") for k in out):
+        out = {k[len("model_gen."):]: v for k, v in out.items()}
+    return out

@@ -145,32 +145,38 @@ def test_infer_step_uses_predicted_durations():
 
 
 def test_infer_from_json_batched(tmp_path):
-    """infer_from_json groups scores into one device program per batch
-    and still writes one output per item."""
+    """infer_from_json groups scores batch_size at a time through
+    infer_batch and writes one correctly-named output per item (drives
+    the REAL infer_from_json with a stubbed synthesis backend)."""
     import json
 
     import numpy as np
 
-    from __graft_entry__ import _tiny_hp
     from bisinger_tpu.inference.pipeline import SVSInfer
 
-    # reuse the pipeline test fixture approach: build a tiny SVSInfer
-    # with random params over a synthetic phone set
-    import tests.test_inference as _self  # noqa
-    hp = _tiny_hp()
-    scores = [
-        {
-            "item_name": f"s{i}",
-            "ph_seq": "a b c",
-            "note_seq": "C4 D4 E4",
-            "note_dur_seq": "0.1 0.1 0.1",
-            "is_slur_seq": "0 0 0",
+    calls = []
+
+    class Stub:
+        hp = {
+            "audio_sample_rate": 24000,
+            "hop_size": 128,
+            "profile_infer": False,
         }
-        for i in range(3)
-    ]
+
+        def infer_batch(self, inputs, rng=None):
+            calls.append([inp["item_name"] for inp in inputs])
+            return [
+                np.zeros(1000 + 10 * i, np.float32) for i in range(len(inputs))
+            ]
+
+    scores = [{"item_name": f"s{i}"} for i in range(5)]
     fn = tmp_path / "scores.json"
     fn.write_text(json.dumps(scores))
-    # the full-pipeline json test already exists; here just check the
-    # batching split logic
-    groups = [scores[i : i + 2] for i in range(0, len(scores), 2)]
-    assert [len(g) for g in groups] == [2, 1]
+    out = tmp_path / "out"
+    paths = SVSInfer.infer_from_json(Stub(), str(fn), str(out), batch_size=2)
+    # 5 items -> groups of 2, 2, 1
+    assert [len(c) for c in calls] == [2, 2, 1]
+    assert [p.split("/")[-1] for p in paths] == [f"s{i}.wav" for i in range(5)]
+    import os
+
+    assert all(os.path.exists(p) for p in paths)

@@ -68,3 +68,31 @@ def test_hifigan_folded_matches_unfolded():
     m1 = HifiGanGenerator(hp=hp1)
     y1 = np.asarray(m1.apply({"params": params}, mel))
     np.testing.assert_allclose(y1, y0, atol=2e-5)
+
+
+def test_hifigan_folded_matches_unfolded_bf16():
+    """Folded vs plain under the SHIPPED bf16 config: both paths compute
+    in bf16 (bias cast included), so they stay close."""
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.models.hifigan import HifiGanGenerator
+
+    base = dict(
+        upsample_rates=[4, 4],
+        upsample_kernel_sizes=[8, 8],
+        upsample_initial_channel=128,
+        resblock_kernel_sizes=[3, 7],
+        resblock_dilation_sizes=[[1, 3], [1, 3]],
+        resblock="1",
+        use_pitch_embed=False,
+        compute_dtype="bfloat16",
+    )
+    hp0 = load_hparams(overrides=base)
+    hp1 = load_hparams(overrides=dict(base, vocoder_time_fold=4))
+    mel = np.asarray(np.random.default_rng(1).standard_normal((1, 40, 80)), np.float32)
+    m0 = HifiGanGenerator(hp=hp0)
+    params = m0.init(jax.random.PRNGKey(0), jnp.asarray(mel))["params"]
+    y0 = np.asarray(m0.apply({"params": params}, mel))
+    y1 = np.asarray(HifiGanGenerator(hp=hp1).apply({"params": params}, mel))
+    # bf16 rounding differs slightly between the two summation orders
+    np.testing.assert_allclose(y1, y0, atol=3e-2)
+    assert np.corrcoef(y0.ravel(), y1.ravel())[0, 1] > 0.999
