@@ -236,3 +236,30 @@ def test_melgan_generator_and_discriminator():
     assert len(outs) == 3
     logits, feats = outs[0]
     assert logits.ndim == 2 and len(feats) == 6
+
+
+def test_spec2wav_batch_matches_per_item():
+    """Batched vocoding == per-item vocoding (one program, no per-length
+    recompiles)."""
+    import jax
+    import numpy as np
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.vocoders.hifigan import HifiGAN
+
+    hp = load_hparams(
+        overrides=dict(
+            upsample_rates=[4, 4],
+            upsample_kernel_sizes=[8, 8],
+            upsample_initial_channel=64,
+            use_pitch_embed=False,
+            use_nsf=False,
+            compute_dtype="float32",
+        )
+    )
+    voc = HifiGAN(hp)
+    mels = np.random.default_rng(0).standard_normal((3, 24, 80)).astype(np.float32)
+    batch_wavs = voc.spec2wav_batch(mels)
+    for b in range(3):
+        single = voc.spec2wav(mels[b])
+        np.testing.assert_allclose(batch_wavs[b], single, atol=1e-5)
