@@ -106,6 +106,38 @@ def extract_f0_autocorr(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarr
     return f0
 
 
+def extract_spk_embed(wav: np.ndarray, sample_rate: int) -> np.ndarray:
+    """256-d speaker embedding (reference uses resemblyzer VoiceEncoder,
+    `base_binarizer.py:145-146`). When resemblyzer isn't installed, a
+    deterministic mel-statistics embedding stands in (per-bin mean/std +
+    spectral moments, L2-normalized) — adequate as a conditioning vector
+    for speaker-similarity lookups but NOT a trained voice encoder."""
+    try:
+        from resemblyzer import VoiceEncoder, preprocess_wav
+
+        encoder = VoiceEncoder()
+        return encoder.embed_utterance(preprocess_wav(wav, source_sr=sample_rate)).astype(
+            np.float32
+        )
+    except ImportError:
+        pass
+    from bisinger_tpu.utils.audio import wav2spec as _w2s
+
+    _, mel = _w2s(wav, sample_rate=sample_rate, fft_size=512, hop_size=128,
+                  win_size=512, num_mels=80, fmin=30, fmax=sample_rate // 2,
+                  eps=1e-6)
+    mu, sd = mel.mean(0), mel.std(0)
+    centroid = (mel * np.arange(80)[None, :]).sum(1) / np.maximum(
+        mel.sum(1), 1e-6
+    )
+    extra = np.array(
+        [centroid.mean(), centroid.std(), mel.mean(), mel.std()] * 24,
+        np.float32,
+    )
+    emb = np.concatenate([mu, sd, extra])[:256].astype(np.float32)
+    return emb / max(np.linalg.norm(emb), 1e-6)
+
+
 def extract_f0(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
     if hp.get("pitch_extractor", "parselmouth") == "parselmouth":
         try:
@@ -282,6 +314,8 @@ class M4SingerBinarizer:
             }
             if hp["binarization_args"].get("with_wav"):
                 res["wav"] = wav.astype(np.float32)
+            if hp["binarization_args"].get("with_spk_embed"):
+                res["spk_embed"] = extract_spk_embed(wav, hp["audio_sample_rate"])
             if hp["binarization_args"].get("with_f0", True):
                 f0 = extract_f0(wav, n_frames, hp)
                 if f0.sum() == 0:

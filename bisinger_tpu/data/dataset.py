@@ -107,6 +107,8 @@ class M4SingerDataset:
         if "speechsing" in item:
             ss = np.asarray(item["speechsing"]).reshape(-1)
             sample["speechsing"] = int(ss[0])
+        if "spk_embed" in item:
+            sample["spk_embed"] = np.asarray(item["spk_embed"], np.float32)
         fs2_dir = hp.get("fs2_mel_dir")
         if fs2_dir:
             # offline shallow diffusion: stage-1 mels precomputed on disk
@@ -197,6 +199,8 @@ def collate_batch(
         batch["fs2_mels"] = pad_2d([s["fs2_mel"] for s in samples], t_mel)
     if "energy" in samples[0]:
         batch["energy"] = pad_1d([s["energy"] for s in samples], t_mel).astype(np.float32)
+    if "spk_embed" in samples[0]:
+        batch["spk_embed"] = np.stack([s["spk_embed"] for s in samples])
     for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
         if key in samples[0]:
             batch[key] = pad_1d([s[key] for s in samples], t_txt)

@@ -162,3 +162,76 @@ class TestDataset:
         assert pick_bucket(100, [128, 256]) == 128
         assert pick_bucket(128, [128, 256]) == 128
         assert pick_bucket(300, [128, 256]) == 256  # clamps to largest
+
+
+def test_spk_embed_binarization(tmp_path):
+    """with_spk_embed records a 256-d unit-norm speaker vector per item
+    (reference base_binarizer.py:145-146; resemblyzer-gated with a
+    mel-statistics fallback) and it collates to [B, 256]."""
+    import numpy as np
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.data.binarizer import M4SingerBinarizer
+    from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+    from bisinger_tpu.data.synthetic import make_synthetic_corpus
+
+    raw = tmp_path / "raw"
+    make_synthetic_corpus(str(raw), n_items=4, seed=0)
+    hp = load_hparams(
+        overrides=dict(
+            raw_data_dir=str(raw),
+            raw_json_fn="meta.json",
+            binary_data_dir=str(tmp_path / "bin"),
+            num_spk=4,
+            test_num=1,
+            use_spk_id=False,
+            use_spk_embed=True,
+            binarization_args={"with_f0": True, "with_spk_embed": True},
+        )
+    )
+    M4SingerBinarizer(hp).process()
+    ds = M4SingerDataset(hp, "train")
+    assert "spk_embed" in ds[0]
+    assert ds[0]["spk_embed"].shape == (256,)
+    assert abs(np.linalg.norm(ds[0]["spk_embed"]) - 1.0) < 1e-3
+    batch = next(iter(DataLoader(ds, hp, shuffle=False)))
+    assert batch["spk_embed"].shape[1] == 256
+
+
+def test_spk_embed_trains(tmp_path):
+    """use_spk_embed=true trains end-to-end with the recorded vectors."""
+    import jax
+    import numpy as np
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.data.binarizer import M4SingerBinarizer
+    from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+    from bisinger_tpu.data.synthetic import make_synthetic_corpus
+    from bisinger_tpu.training.tasks import AuxDecoderMIDITask
+    from bisinger_tpu.training.trainer import device_batch
+    from bisinger_tpu.utils.text_encoder import build_phone_encoder
+
+    raw = tmp_path / "raw"
+    make_synthetic_corpus(str(raw), n_items=4, seed=0)
+    hp = load_hparams(
+        overrides=dict(
+            raw_data_dir=str(raw),
+            raw_json_fn="meta.json",
+            binary_data_dir=str(tmp_path / "bin"),
+            hidden_size=32, enc_layers=1, dec_layers=1, num_heads=2,
+            enc_ffn_kernel_size=3, dec_ffn_kernel_size=3,
+            dur_predictor_layers=2, predictor_layers=2,
+            use_pitch_embed=False, num_spk=4, max_words=16,
+            bucket_tokens=[32], bucket_frames=[256],
+            use_spk_id=False, use_spk_embed=True,
+            binarization_args={"with_f0": True, "with_spk_embed": True},
+        )
+    )
+    M4SingerBinarizer(hp).process()
+    vocab = build_phone_encoder(hp["binary_data_dir"]).vocab_size
+    batch = device_batch(next(iter(DataLoader(M4SingerDataset(hp, "train"), hp))))
+    assert "spk_embed" in batch
+    task = AuxDecoderMIDITask(hp, vocab)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    state, losses = task.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total_loss"]))
