@@ -106,35 +106,54 @@ def extract_f0_autocorr(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarr
     return f0
 
 
-def extract_spk_embed(wav: np.ndarray, sample_rate: int) -> np.ndarray:
+_VOICE_ENCODER = None
+
+
+def extract_spk_embed(
+    wav: np.ndarray, sample_rate: int, mel: Optional[np.ndarray] = None
+) -> np.ndarray:
     """256-d speaker embedding (reference uses resemblyzer VoiceEncoder,
     `base_binarizer.py:145-146`). When resemblyzer isn't installed, a
-    deterministic mel-statistics embedding stands in (per-bin mean/std +
-    spectral moments, L2-normalized) — adequate as a conditioning vector
-    for speaker-similarity lookups but NOT a trained voice encoder."""
+    deterministic mel-statistics embedding stands in (LINEAR-mel per-bin
+    mean/std + spectral moments, L2-normalized) — adequate as a
+    conditioning vector but NOT a trained voice encoder. Pass the
+    already-computed log-mel to avoid a second STFT pass."""
     try:
         from resemblyzer import VoiceEncoder, preprocess_wav
 
-        encoder = VoiceEncoder()
-        return encoder.embed_utterance(preprocess_wav(wav, source_sr=sample_rate)).astype(
-            np.float32
-        )
+        global _VOICE_ENCODER
+        if _VOICE_ENCODER is None:  # the model load is expensive: cache it
+            _VOICE_ENCODER = VoiceEncoder()
+        return _VOICE_ENCODER.embed_utterance(
+            preprocess_wav(wav, source_sr=sample_rate)
+        ).astype(np.float32)
     except ImportError:
         pass
-    from bisinger_tpu.utils.audio import wav2spec as _w2s
-
-    _, mel = _w2s(wav, sample_rate=sample_rate, fft_size=512, hop_size=128,
-                  win_size=512, num_mels=80, fmin=30, fmax=sample_rate // 2,
-                  eps=1e-6)
-    mu, sd = mel.mean(0), mel.std(0)
-    centroid = (mel * np.arange(80)[None, :]).sum(1) / np.maximum(
-        mel.sum(1), 1e-6
+    if mel is None:
+        mel = wav2spec(
+            wav, sample_rate=sample_rate, fft_size=512, hop_size=128,
+            win_size=512, num_mels=80, fmin=30, fmax=sample_rate // 2, eps=1e-6,
+        )[1]
+    lin = np.power(10.0, mel)  # stats on LINEAR mel (log-mel sums are
+    # negative and made the centroid degenerate)
+    n_bins = lin.shape[1]
+    centroid = (lin * np.arange(n_bins)[None, :]).sum(1) / np.maximum(
+        lin.sum(1), 1e-8
     )
     extra = np.array(
-        [centroid.mean(), centroid.std(), mel.mean(), mel.std()] * 24,
-        np.float32,
+        [centroid.mean(), centroid.std(), lin.mean(), lin.std()], np.float32
     )
-    emb = np.concatenate([mu, sd, extra])[:256].astype(np.float32)
+
+    def unit(v):
+        return v / max(np.linalg.norm(v), 1e-8)
+
+    # per-block normalization: without it any large-magnitude block
+    # (e.g. the scalar moments) dominates the final direction and the
+    # embedding collapses toward a speaker-independent constant
+    blocks = [unit(lin.mean(0)), unit(lin.std(0)), unit(extra)]
+    emb = np.concatenate(blocks)[:256].astype(np.float32)
+    if len(emb) < 256:
+        emb = np.pad(emb, (0, 256 - len(emb)))
     return emb / max(np.linalg.norm(emb), 1e-6)
 
 
@@ -315,7 +334,9 @@ class M4SingerBinarizer:
             if hp["binarization_args"].get("with_wav"):
                 res["wav"] = wav.astype(np.float32)
             if hp["binarization_args"].get("with_spk_embed"):
-                res["spk_embed"] = extract_spk_embed(wav, hp["audio_sample_rate"])
+                res["spk_embed"] = extract_spk_embed(
+                    wav, hp["audio_sample_rate"], mel=mel
+                )
             if hp["binarization_args"].get("with_f0", True):
                 f0 = extract_f0(wav, n_frames, hp)
                 if f0.sum() == 0:

@@ -104,7 +104,7 @@ class SVSInfer:
         t_txt = self.hp["bucket_tokens"][0]
         t_mel = self.hp["bucket_frames"][0]
         z1 = np.zeros((1, t_txt), np.int64)
-        return {
+        out = {
             "txt_tokens": z1,
             "mel2ph": np.zeros((1, t_mel), np.int64),
             "spk_ids": np.zeros((1,), np.int64),
@@ -118,6 +118,9 @@ class SVSInfer:
             "lang": z1.copy(),
             "speechsing": np.ones((1,), np.int64),
         }
+        if self.hp.get("use_spk_embed"):
+            out["spk_embed"] = np.zeros((1, 256), np.float32)
+        return out
 
     # ---- batching ---------------------------------------------------------
     def items_to_batch(self, items: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -155,6 +158,16 @@ class SVSInfer:
             "uv": np.zeros((b, t_mel), np.float32),
             "word_boundary": np.zeros((b, t_txt), np.int64),
         }
+        if self.hp.get("use_spk_embed"):
+            # reference-speaker vector per item (score key 'spk_embed',
+            # else zeros — a neutral voice for embedding-conditioned
+            # models, which would otherwise crash on spk_embed=None)
+            batch["spk_embed"] = np.stack(
+                [
+                    np.asarray(it.get("spk_embed", np.zeros(256)), np.float32)
+                    for it in items
+                ]
+            )
         return batch
 
     # ---- forward ----------------------------------------------------------

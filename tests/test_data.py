@@ -235,3 +235,18 @@ def test_spk_embed_trains(tmp_path):
     state = task.init_state(jax.random.PRNGKey(0), batch)
     state, losses = task.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_spk_embed_fallback_discriminative():
+    """The mel-statistics fallback must distinguish very different
+    signals (regression: log-mel centroid degenerated to a constant)."""
+    import numpy as np
+
+    from bisinger_tpu.data.binarizer import extract_spk_embed
+
+    sr = 24000
+    t = np.arange(sr) / sr
+    sine = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    noise = (0.1 * np.random.default_rng(0).standard_normal(sr)).astype(np.float32)
+    cos = float(extract_spk_embed(sine, sr) @ extract_spk_embed(noise, sr))
+    assert cos < 0.9, cos
