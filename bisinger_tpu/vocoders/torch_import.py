@@ -94,12 +94,16 @@ def import_hifigan_generator(state_dict: Dict[str, Any], hp) -> Dict[str, Any]:
             params[f"res_{i}_{j}"] = blk
         if f"noise_convs.{i}.weight" in sd:
             params[f"noise_conv_{i}"] = _conv(sd, f"noise_convs.{i}")
-        for norm_name in (f"noise_norms.{i}", f"noise_norm.{i}"):
-            if f"{norm_name}.weight" in sd:
-                params[f"noise_norm_{i}"] = {
-                    "scale": sd[f"{norm_name}.weight"],
-                    "bias": sd[f"{norm_name}.bias"],
-                }
+            # the reference applies PARAMETERLESS functional layer_norm
+            # after the noise conv (`modules/hifigan/hifigan.py:158`);
+            # the flax model uses nn.LayerNorm, so synthesize identity
+            # scale/bias for it — without these, apply() would fail on
+            # imported NSF checkpoints
+            c_out = params[f"noise_conv_{i}"]["kernel"].shape[-1]
+            params[f"noise_norm_{i}"] = {
+                "scale": np.ones(c_out, np.float32),
+                "bias": np.zeros(c_out, np.float32),
+            }
     if "m_source.l_linear.weight" in sd:
         params["m_source"] = {"merge": _dense(sd, "m_source.l_linear")}
     return jax.tree.map(jnp.asarray, params)

@@ -125,3 +125,75 @@ def test_torch_to_flax_full_generator():
     np.testing.assert_allclose(yf, yt, atol=2e-3)
     corr = np.corrcoef(yf.ravel(), yt.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_nsf_import_structure_matches_init():
+    """NSF checkpoints (noise_convs + m_source, reference naming) import
+    to the EXACT param tree HifiGanGenerator initializes — including the
+    synthesized identity LayerNorm (the reference's layer_norm is
+    parameterless, flax's is not)."""
+    import jax
+
+    from bisinger_tpu.vocoders.torch_import import import_hifigan_generator
+
+    hp = load_hparams(
+        overrides=dict(
+            upsample_rates=[4, 4],
+            upsample_kernel_sizes=[8, 8],
+            upsample_initial_channel=64,
+            resblock_kernel_sizes=[3, 5],
+            resblock_dilation_sizes=[[1, 3], [1, 3]],
+            resblock="1",
+            use_pitch_embed=True,
+            use_nsf=True,
+            audio_sample_rate=24000,
+        )
+    )
+    # synthetic torch-format NSF state dict with reference naming
+    rng = np.random.default_rng(0)
+    c0 = 64
+    sd = {
+        "conv_pre.weight": rng.standard_normal((c0, 80, 7)).astype(np.float32),
+        "conv_pre.bias": np.zeros(c0, np.float32),
+        "conv_post.weight": rng.standard_normal((1, 16, 7)).astype(np.float32),
+        "conv_post.bias": np.zeros(1, np.float32),
+        "m_source.l_linear.weight": rng.standard_normal((1, 9)).astype(np.float32),
+        "m_source.l_linear.bias": np.zeros(1, np.float32),
+    }
+    chans = [32, 16]
+    for i, c in enumerate(chans):
+        cin = c0 // (2 ** i)
+        sd[f"ups.{i}.weight"] = rng.standard_normal((cin, c, 8)).astype(np.float32)
+        sd[f"ups.{i}.bias"] = np.zeros(c, np.float32)
+        # stage 0 noise conv is strided (stride_f0*2 kernel), stage 1 is 1x1
+        k_noise = 8 if i == 0 else 1
+        sd[f"noise_convs.{i}.weight"] = rng.standard_normal((c, 1, k_noise)).astype(np.float32)
+        sd[f"noise_convs.{i}.bias"] = np.zeros(c, np.float32)
+        for j, ksz in enumerate([3, 5]):
+            nm = f"resblocks.{i * 2 + j}"
+            for d in range(2):
+                sd[f"{nm}.convs1.{d}.weight"] = rng.standard_normal((c, c, ksz)).astype(np.float32)
+                sd[f"{nm}.convs1.{d}.bias"] = np.zeros(c, np.float32)
+                sd[f"{nm}.convs2.{d}.weight"] = rng.standard_normal((c, c, ksz)).astype(np.float32)
+                sd[f"{nm}.convs2.{d}.bias"] = np.zeros(c, np.float32)
+
+    imported = import_hifigan_generator(sd, hp)
+
+    import jax.numpy as jnp
+
+    model = HifiGanGenerator(hp=hp)
+    mel = jnp.zeros((1, 16, 80))
+    f0 = jnp.full((1, 16), 220.0)
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "nsf": jax.random.PRNGKey(1)}, mel, f0
+    )["params"]
+
+    init_shapes = jax.tree.map(lambda x: tuple(x.shape), init)
+    imp_shapes = jax.tree.map(lambda x: tuple(x.shape), imported)
+    assert init_shapes == imp_shapes
+
+    # and the imported tree actually drives a forward pass
+    wav = model.apply(
+        {"params": imported}, mel, f0, rngs={"nsf": jax.random.PRNGKey(2)}
+    )
+    assert np.isfinite(np.asarray(wav)).all()
