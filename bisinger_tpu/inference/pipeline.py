@@ -51,11 +51,21 @@ class SVSInfer:
         self.frontend = BilingualFrontend(self.encoder, lexicon_path)
         self.task = DiffSingerMIDITask(hp, self.encoder.vocab_size)
         self.params = diffusion_params
+        # PE runs in eval mode and needs both params and the BatchNorm
+        # running stats; accept either {'params':..., 'batch_stats':...}
+        # or bare params (stats default to init values: mean 0 / var 1)
+        if pe_params is not None and "params" not in pe_params:
+            pe_params = {"params": pe_params, "batch_stats": {}}
         self.pe_params = pe_params
         if pe_params is not None:
             from bisinger_tpu.training.tasks import PitchExtractionTask
 
             self.pe_task = PitchExtractionTask(hp)
+            if not pe_params.get("batch_stats"):
+                tmpl = self.pe_task.model.init(
+                    jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+                )
+                pe_params["batch_stats"] = tmpl.get("batch_stats", {})
         else:
             self.pe_task = None
         self.vocoder = vocoder
@@ -90,7 +100,10 @@ class SVSInfer:
                 pe_mgr = CheckpointManager(os.path.join(pe_dir, "ckpt"))
                 pe_restored = pe_mgr.restore(jax.device_get(pe_state))
                 if pe_restored is not None:
-                    inst.pe_params = pe_restored.params
+                    inst.pe_params = {
+                        "params": pe_restored.params,
+                        "batch_stats": pe_restored.batch_stats or {},
+                    }
                     inst.pe_task = pe_task
             if pe_restored is None:
                 print(

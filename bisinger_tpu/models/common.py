@@ -179,7 +179,7 @@ class EncSALayer(nn.Module):
         nonpad = 1.0 - padding_mask.astype(x.dtype)[:, :, None]
         if self.num_heads > 0:
             residual = x
-            y = nn.LayerNorm(name="layer_norm1")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
             y = MultiHeadAttention(
                 num_heads=self.num_heads,
                 bias=False,
@@ -189,7 +189,7 @@ class EncSALayer(nn.Module):
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             x = (residual + y) * nonpad
         residual = x
-        y = nn.LayerNorm(name="layer_norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
         y = TransformerFFN(
             hidden_size=self.hidden_size,
             filter_size=4 * self.hidden_size,
@@ -211,19 +211,38 @@ class ESM(nn.Module):
 
         Mo = MHA(q=Eo, k=v=LN1(LP)) + LP
         Fo = FFN(LN2(Mo)) + Mo
-    """
+
+    Attention axis: the reference feeds [B, T, H] tensors into
+    `torch.nn.MultiheadAttention` with the default `batch_first=False`
+    (`common_layers.py:853`), so dim 0 (= the BATCH axis) is treated as
+    the sequence — attention mixes the B utterances at each token index,
+    not the T tokens of one utterance. `cross_batch=True` (default)
+    reproduces that exact behaviour for checkpoint/numerical parity;
+    set hp `esm_cross_batch: false` for the per-utterance (over-time)
+    variant, which is batch-order invariant and the sane choice for new
+    training runs."""
 
     hidden_size: int
     num_heads: int = 8
+    cross_batch: bool = True
 
     @nn.compact
     def __call__(self, eo, lp, deterministic=True):
-        lp_norm = nn.LayerNorm(name="ln1")(lp)
-        mo = MultiHeadAttention(num_heads=self.num_heads, bias=True, name="mh")(
-            eo, lp_norm, lp_norm, deterministic=deterministic
-        )
+        lp_norm = nn.LayerNorm(epsilon=1e-5, name="ln1")(lp)
+        mh = MultiHeadAttention(num_heads=self.num_heads, bias=True, name="mh")
+        if self.cross_batch:
+            # reference semantics: attend over axis 0. Our MHA attends
+            # over axis 1, so swap (B, T) -> (T, B), attend, swap back.
+            mo = mh(
+                eo.swapaxes(0, 1),
+                lp_norm.swapaxes(0, 1),
+                lp_norm.swapaxes(0, 1),
+                deterministic=deterministic,
+            ).swapaxes(0, 1)
+        else:
+            mo = mh(eo, lp_norm, lp_norm, deterministic=deterministic)
         mo = mo + lp
-        y = nn.LayerNorm(name="ln2")(mo)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln2")(mo)
         y = nn.Dense(self.hidden_size, kernel_init=xavier_uniform, name="ffn1")(y)
         y = jax.nn.relu(y)
         y = nn.Dense(self.hidden_size, kernel_init=xavier_uniform, name="ffn2")(y)
@@ -274,5 +293,5 @@ class FFTBlocks(nn.Module):
                 name=f"layer_{i}",
             )(x, padding_mask, deterministic) * nonpad
         if self.use_last_norm:
-            x = nn.LayerNorm(name="final_ln")(x) * nonpad
+            x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x) * nonpad
         return x

@@ -357,7 +357,12 @@ class FastSpeech2MIDI(FastSpeech2):
     def setup(self):
         self._setup_core()
         h = self.hp["hidden_size"]
-        self.esm = ESM(hidden_size=h, num_heads=8, name="esm")
+        self.esm = ESM(
+            hidden_size=h,
+            num_heads=8,
+            cross_batch=self.hp.get("esm_cross_batch", True),
+            name="esm",
+        )
         self.midi_embed = Embedding(300, h, self.padding_idx, name="midi_embed")
         self.midi_dur_layer = nn.Dense(h, name="midi_dur_layer")
         self.is_slur_embed = Embedding(2, h, name="is_slur_embed")

@@ -214,10 +214,11 @@ class EnergyPredictor(PitchPredictor):
 
 class Prenet(nn.Module):
     """PE mel prenet: 3x (conv k=5 -> relu -> BatchNorm), masked
-    (reference `modules/fastspeech/pe.py:8-42`). BatchNorm uses running
-    stats only in eval; here we use LayerNorm over channels (same
-    normalization role, SPMD-friendly — batch statistics would need
-    cross-device sync)."""
+    (reference `modules/fastspeech/pe.py:8-42`). Real BatchNorm matching
+    the reference (`pe.py:18`): eval uses running stats (weight-transfer
+    parity with torch checkpoints); train updates the `batch_stats`
+    collection. Under jit+sharding the batch statistics are global — XLA
+    inserts the cross-device reduction, no axis_name needed."""
 
     out_dim: int = 256
     kernel: int = 5
@@ -230,7 +231,14 @@ class Prenet(nn.Module):
         for i in range(self.n_layers):
             x = nn.Conv(self.out_dim, (self.kernel,), padding="SAME", name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.LayerNorm(name=f"norm_{i}")(x)
+            # torch BatchNorm1d defaults: momentum 0.1 (flax convention:
+            # running = m*running + (1-m)*new -> 0.9), eps 1e-5
+            x = nn.BatchNorm(
+                use_running_average=deterministic,
+                momentum=0.9,
+                epsilon=1e-5,
+                name=f"norm_{i}",
+            )(x)
             x = x * nonpad
         x = nn.Dense(self.out_dim, name="out_proj")(x)
         return x * nonpad

@@ -256,6 +256,13 @@ class DiffSingerMIDITask(AuxDecoderMIDITask):
         )
 
 
+class PETrainState(train_state.TrainState):
+    """TrainState + BatchNorm running stats (the PE Prenet uses real
+    BatchNorm for parity with the reference `pe.py:18`)."""
+
+    batch_stats: Any = None
+
+
 class PitchExtractionTask:
     """PE training: mel -> (f0, uv) (`tasks/tts/pe.py:103-157`)."""
 
@@ -264,10 +271,13 @@ class PitchExtractionTask:
         self.model = PitchExtractor(hp=hp)
         self.tx = build_optimizer(hp, schedule="rsqrt")
 
-    def init_state(self, rng, batch) -> TrainState:
+    def init_state(self, rng, batch) -> PETrainState:
         variables = self.model.init({"params": rng}, batch["mels"])
-        return TrainState.create(
-            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+        return PETrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=self.tx,
         )
 
     def compute_losses(self, ret, batch):
@@ -280,32 +290,40 @@ class PitchExtractionTask:
         return losses
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: TrainState, batch, rng):
+    def train_step(self, state: PETrainState, batch, rng):
         def loss_fn(params):
-            ret = self.model.apply(
-                {"params": params}, batch["mels"], deterministic=False,
+            ret, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["mels"],
+                deterministic=False,
                 rngs={"dropout": rng},
+                mutable=["batch_stats"],
             )
             losses = self.compute_losses(ret, batch)
-            return sum(losses.values()), losses
+            return sum(losses.values()), (losses, mutated["batch_stats"])
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        state = state.apply_gradients(grads=grads)
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         losses["total_loss"] = total
         return state, losses
 
     @functools.partial(jax.jit, static_argnums=0)
-    def val_step(self, state: TrainState, batch, rng):
-        ret = self.model.apply({"params": state.params}, batch["mels"])
+    def val_step(self, state: PETrainState, batch, rng):
+        ret = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["mels"],
+        )
         losses = self.compute_losses(ret, batch)
         losses["total_loss"] = sum(losses.values())
         return losses
 
     @functools.partial(jax.jit, static_argnums=0)
-    def infer_step(self, params, mels):
-        return self.model.apply({"params": params}, mels)
+    def infer_step(self, variables, mels):
+        """`variables` = {'params': ..., 'batch_stats': ...} (eval mode
+        uses the running BatchNorm stats, like torch `.eval()`)."""
+        return self.model.apply(variables, mels)
 
 
 class DiffSpeechTask(DiffSingerMIDITask):

@@ -1,0 +1,78 @@
+"""Worker for the 2-process jax.distributed CPU test (test_distributed.py).
+
+Each process owns 2 virtual CPU devices (4 global), initializes the
+distributed runtime, feeds its OWN batch shard through
+`global_batch_from_process_local`, runs one sharded train step, saves an
+orbax checkpoint (rank-0 writes, all ranks participate), restores it,
+and prints the loss for the parent to compare across ranks — the
+multi-host path of `parallel/mesh.py:68-80` + `training/trainer.py:244-246`
+that single-process tests cannot reach.
+
+Usage: python distributed_worker.py <coordinator_port> <process_id> <ckpt_dir>
+"""
+
+import os
+import sys
+
+port, pid, ckpt_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", ""
+    )
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from __graft_entry__ import _batch, _tiny_hp  # noqa: E402
+from bisinger_tpu.parallel import (  # noqa: E402
+    global_batch_from_process_local,
+    make_mesh,
+    replicate_sharding,
+)
+from bisinger_tpu.training.tasks import DiffSingerMIDITask  # noqa: E402
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+assert len(jax.local_devices()) == 2
+
+hp = _tiny_hp()
+task = DiffSingerMIDITask(hp, 32)
+global_batch = _batch(4, 16, 64, 32)  # identical on both ranks (seeded)
+local = {k: v[pid * 2 : (pid + 1) * 2] for k, v in global_batch.items()}
+
+mesh = make_mesh(num_data=4, num_model=1)
+rng = jax.random.PRNGKey(0)
+with mesh:
+    state = task.init_state(rng, global_batch)
+    state = jax.device_put(state, replicate_sharding(mesh))
+    sharded = global_batch_from_process_local(local, mesh)
+    for k, v in sharded.items():
+        assert v.shape[0] == 4, (k, v.shape)  # global batch reassembled
+    state, losses = task.train_step(state, sharded, rng)
+    loss = float(losses["total_loss"])
+
+# rank-0 checkpointing: every process calls save/restore (orbax
+# coordinates through the jax distributed client), only rank 0 writes
+from bisinger_tpu.training.checkpoints import CheckpointManager  # noqa: E402
+
+mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
+mgr.save(1, jax.device_get(state))
+restored = mgr.restore(jax.device_get(state))
+assert restored is not None
+p0 = jax.tree_util.tree_leaves(state.params)[0]
+r0 = jax.tree_util.tree_leaves(restored.params)[0]
+np.testing.assert_allclose(np.asarray(p0), np.asarray(r0))
+mgr.close()
+
+print(f"RANK{pid} OK loss={loss:.6f}", flush=True)

@@ -1,0 +1,85 @@
+"""Real multi-process (2-host-style) SPMD test on CPU.
+
+Launches two OS processes that `jax.distributed.initialize` against a
+local coordinator, each owning 2 virtual CPU devices, and drives the
+framework's actual multi-host path: per-process batch shards assembled
+with `jax.make_array_from_process_local_data`
+(`parallel/mesh.py:global_batch_from_process_local`), a sharded train
+step, and orbax rank-0 checkpointing. Mirrors the reference's DDP
+semantics (`utils/pl_utils.py:847-903`) without needing 2 hosts.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train_step_and_checkpoint(tmp_path):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    ckpt_dir = str(tmp_path / "ckpt")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), ckpt_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+
+    # both ranks computed the same (replicated) global loss
+    losses = []
+    for out in outs:
+        m = re.search(r"OK loss=([0-9.]+)", out)
+        assert m, out[-2000:]
+        losses.append(float(m.group(1)))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    assert np.isfinite(losses[0])
+
+    # single-process equivalence: the same global batch on a 4-device
+    # single-process mesh yields the same loss (DDP == DP == SPMD)
+    import jax
+
+    from __graft_entry__ import _batch, _tiny_hp
+    from bisinger_tpu.parallel import make_mesh, replicate_sharding, shard_batch
+    from bisinger_tpu.training.tasks import DiffSingerMIDITask
+
+    hp = _tiny_hp()
+    task = DiffSingerMIDITask(hp, 32)
+    batch = _batch(4, 16, 64, 32)
+    mesh = make_mesh(num_data=4, num_model=1, devices=jax.devices()[:4])
+    rng = jax.random.PRNGKey(0)
+    with mesh:
+        state = task.init_state(rng, batch)
+        state = jax.device_put(state, replicate_sharding(mesh))
+        _, losses_sp = task.train_step(state, shard_batch(batch, mesh), rng)
+        single = float(losses_sp["total_loss"])
+    np.testing.assert_allclose(single, losses[0], rtol=2e-5)
