@@ -86,11 +86,15 @@ class M4SingerDataset:
             "spk_id": int(item.get("spk_id", 0)),
         }
         if hp.get("use_energy_embed"):
-            # frame energy from the log-mel (reference `fs2_utils.py:65`:
-            # sqrt(sum(exp(mel)^2)) over bins; our mel is log10 -> 10**)
-            sample["energy"] = np.sqrt(
-                ((10.0 ** mel) ** 2).sum(-1)
-            ).astype(np.float32)
+            # frame energy from the log-mel. The reference applies an
+            # e-based exp to the log10 mel (`fs2_utils.py:65`:
+            # sqrt(sum(exp(mel)^2))) — dimensionally odd but it defines
+            # the 256-bin energy-id distribution reference checkpoints
+            # were trained with, so 'ref' (default) matches it exactly;
+            # 'pow10' is the dimensionally-consistent 10**mel variant.
+            conv = hp.get("energy_convention", "ref")
+            lin = np.exp(mel) if conv == "ref" else 10.0 ** mel
+            sample["energy"] = np.sqrt((lin ** 2).sum(-1)).astype(np.float32)
         if hp["binarization_args"].get("with_f0", True) and "f0" in item:
             f0, uv = norm_interp_f0_np(
                 item["f0"][:t], hp["pitch_norm"], use_uv=hp["use_uv"]
@@ -273,6 +277,13 @@ class DataLoader:
             usable = len(batches) - len(batches) % self.num_shards
             batches = batches[self.shard_index : usable : self.num_shards]
         return batches
+
+    def batches_per_epoch(self) -> int:
+        """Number of batches in one data epoch (epoch-0 batching; later
+        epochs differ only in shuffle order, not count, unless lengths
+        tie-break differently — close enough for epoch-indexed schedules
+        like the grad-accumulation dict)."""
+        return len(self._epoch_batches(0))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:

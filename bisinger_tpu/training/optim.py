@@ -13,6 +13,7 @@ Mirrors the reference training recipes:
 
 from __future__ import annotations
 
+from collections.abc import Mapping as MappingABC
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -38,6 +39,21 @@ def rsqrt_schedule(hp: HParams) -> Callable:
 
 def step_decay_schedule(hp: HParams) -> Callable:
     lr = hp["lr"]
+    if lr > 0.05:
+        # the global default lr=2.0 is the rsqrt-schedule SCALE factor
+        # (reference `configs/tts/base.yaml:70`, multiplied by
+        # warmup^-0.5 * hidden^-0.5); fed raw into AdamW it diverges in
+        # 2 steps. The reference's diffusion recipes override lr: 0.001
+        # (`usr/configs/base.yaml:7`) — substitute that here so a config
+        # that never set lr for the step schedule trains instead of
+        # NaN-ing.
+        print(
+            f"| WARNING: lr={lr} with the step-decay schedule would "
+            "diverge; using the reference diffusion default 0.001 "
+            "(set lr explicitly to override)",
+            flush=True,
+        )
+        lr = 0.001
     decay_steps = hp["decay_steps"]
 
     def schedule(step):
@@ -46,10 +62,52 @@ def step_decay_schedule(hp: HParams) -> Callable:
     return schedule
 
 
+def accum_schedule(spec: Dict, steps_per_epoch: int) -> Callable:
+    """Per-epoch gradient-accumulation schedule, matching the reference's
+    `GradientAccumulationScheduler` (`utils/pl_utils.py:256-280`): `spec`
+    maps 1-indexed epoch -> accumulation factor; the factor of the
+    largest scheduled epoch <= current applies. Epochs are data epochs
+    (`steps_per_epoch` mini-batches each); returns an `every_k_schedule`
+    callable for `optax.MultiSteps`, which sees the count of completed
+    OPTIMIZER updates — epoch boundaries are precomputed in update
+    counts (steps_per_epoch // factor updates per epoch)."""
+    if not spec:
+        raise TypeError("Empty dict cannot be interpreted correct")
+    sched = {}
+    for k, v in dict(spec).items():
+        # HParams stringifies int keys; accept both
+        if isinstance(k, str) and k.lstrip("-").isdigit():
+            k = int(k)
+        if not isinstance(k, int) or not isinstance(v, int):
+            raise TypeError("All epoches and accumulation factor must be integers")
+        sched[k] = v
+    if min(sched) < 1:
+        raise IndexError(f"Epochs indexing from 1, epoch {min(sched)} invalid")
+    sched.setdefault(1, 1)
+    epochs = sorted(sched)
+    thresholds, factors = [], []
+    updates = 0
+    for i, e in enumerate(epochs):
+        f = max(sched[e], 1)
+        factors.append(f)
+        if i + 1 == len(epochs):
+            break
+        updates += (epochs[i + 1] - e) * max(steps_per_epoch // f, 1)
+        thresholds.append(updates)
+    th = jnp.asarray(thresholds, jnp.int32)
+    fa = jnp.asarray(factors, jnp.int32)
+
+    def every_k(update_count):
+        return fa[jnp.searchsorted(th, update_count, side="right")]
+
+    return every_k
+
+
 def build_optimizer(
     hp: HParams,
     schedule: str = "rsqrt",
     trainable_mask: Optional[Any] = None,
+    steps_per_epoch: Optional[int] = None,
 ) -> optax.GradientTransformation:
     """AdamW + clipping (+ optional trainable mask: frozen leaves get
     zero updates)."""
@@ -71,9 +129,21 @@ def build_optimizer(
             tx,
         )
     accum = hp.get("accumulate_grad_batches", 1)
-    if accum and accum > 1:
-        # reference GradientAccumulationScheduler (`pl_utils.py:256-280`),
-        # constant-factor form
+    if isinstance(accum, MappingABC):
+        # per-epoch schedule (reference dict form,
+        # `pl_utils.py:1088-1089`); needs batches/epoch, injected by the
+        # trainer via task.configure_accumulation
+        if steps_per_epoch is None:
+            # tasks build their optimizer before the dataloader exists;
+            # the trainer rebuilds via task.configure_accumulation once
+            # batches/epoch is known (outside a trainer — pure inference
+            # or tests — accumulation simply isn't active)
+            return tx
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=accum_schedule(accum, steps_per_epoch)
+        )
+    elif accum and accum > 1:
+        # constant factor (reference int form, `pl_utils.py:1090-1091`)
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 

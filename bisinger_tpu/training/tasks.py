@@ -76,10 +76,33 @@ class AuxDecoderMIDITask:
     schedule = "rsqrt"
 
     def __init__(self, hp: HParams, vocab_size: int):
+        if hp.get("dur_loss") == "crf" and hp.get("use_midi", True):
+            # the CRF head's states ARE frame counts capped at 31 (the
+            # reference torchcrf ceiling, `tts_modules.py:102-105`);
+            # singing phone durations routinely exceed it, silently
+            # clipping targets — fail loudly instead
+            raise ValueError(
+                "dur_loss: crf caps durations at 31 frames (torchcrf "
+                "parity) and is speech-only; singing/MIDI configs must "
+                "use dur_loss: mse or mog"
+            )
         self.hp = hp
         self.vocab_size = vocab_size
         self.model = self.build_model()
         self.tx = build_optimizer(hp, schedule=self.schedule, trainable_mask=None)
+
+    def configure_accumulation(self, steps_per_epoch: int):
+        """Rebuild the optimizer once batches/epoch is known — needed for
+        the reference's per-epoch GradientAccumulationScheduler dict form
+        (`pl_utils.py:256-280`). Called by the trainer before init_state."""
+        self._steps_per_epoch = steps_per_epoch
+        from collections.abc import Mapping
+
+        if isinstance(self.hp.get("accumulate_grad_batches", 1), Mapping):
+            self.tx = build_optimizer(
+                self.hp, schedule=self.schedule, trainable_mask=None,
+                steps_per_epoch=steps_per_epoch,
+            )
 
     # ---- model -----------------------------------------------------------
     def build_model(self):
@@ -195,7 +218,10 @@ class DiffSingerMIDITask(AuxDecoderMIDITask):
             # DiffSpeech policy: only '*predictor*' fs2 params train
             # (`usr/diffspeech_task.py:37-39`)
             mask = predictor_only_mask(params)
-            self.tx = build_optimizer(self.hp, schedule=self.schedule, trainable_mask=mask)
+            self.tx = build_optimizer(
+                self.hp, schedule=self.schedule, trainable_mask=mask,
+                steps_per_epoch=getattr(self, "_steps_per_epoch", None),
+            )
         return TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
 
     def step_flags(self, step: Optional[int]) -> Dict[str, Any]:
@@ -381,7 +407,10 @@ class DiffSingerOfflineTask(DiffSingerMIDITask):
         params = variables["params"]
         if self.freeze_fs2:
             mask = predictor_only_mask(params)
-            self.tx = build_optimizer(self.hp, schedule=self.schedule, trainable_mask=mask)
+            self.tx = build_optimizer(
+                self.hp, schedule=self.schedule, trainable_mask=mask,
+                steps_per_epoch=getattr(self, "_steps_per_epoch", None),
+            )
         return TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
 
     @functools.partial(jax.jit, static_argnums=0)

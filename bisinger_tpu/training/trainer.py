@@ -151,6 +151,9 @@ class Trainer:
         hp = self.hp
         max_updates = max_updates or hp["max_updates"]
         train_dl, valid_dl = self.build_dataloaders()
+        if hasattr(self.task, "configure_accumulation"):
+            # per-epoch grad-accum schedules need batches/epoch
+            self.task.configure_accumulation(train_dl.batches_per_epoch())
         train_iter = iter(train_dl)
 
         rng = jax.random.PRNGKey(hp["seed"])

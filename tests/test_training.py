@@ -81,11 +81,19 @@ class TestSchedules:
         )
 
     def test_step_decay(self):
-        hp = load_hparams(overrides=dict(lr=1.0, decay_steps=10))
+        hp = load_hparams(overrides=dict(lr=0.01, decay_steps=10))
         s = step_decay_schedule(hp)
-        assert float(s(5)) == 1.0
-        assert float(s(15)) == 0.5
-        assert float(s(25)) == 0.25
+        assert np.isclose(float(s(5)), 0.01)
+        assert np.isclose(float(s(15)), 0.005)
+        assert np.isclose(float(s(25)), 0.0025)
+
+    def test_step_decay_guards_rsqrt_scale_lr(self):
+        """The global default lr=2.0 is the rsqrt scale factor; fed raw
+        into AdamW it diverges — the step schedule substitutes the
+        reference diffusion default 0.001 (`usr/configs/base.yaml:7`)."""
+        hp = load_hparams(overrides=dict(decay_steps=10))  # default lr=2.0
+        s = step_decay_schedule(hp)
+        assert np.isclose(float(s(5)), 0.001)
 
 
 class TestLosses:
@@ -320,3 +328,77 @@ def test_hparams_defaults_not_mutated_by_nested_override():
     assert DEFAULT_HPARAMS["binarization_args"]["with_wav"] == before
     hp2 = load_hparams()
     assert hp2["binarization_args"]["with_wav"] == before
+
+
+def test_accum_schedule_per_epoch():
+    """Per-epoch grad-accumulation dict (reference
+    GradientAccumulationScheduler, `pl_utils.py:256-280`): factor of the
+    largest scheduled epoch <= current applies, epochs 1-indexed."""
+    from bisinger_tpu.training.optim import accum_schedule
+
+    # 10 batches/epoch; epochs 1-2 factor 1 (=20 updates), then factor 2
+    every_k = accum_schedule({1: 1, 3: 2}, steps_per_epoch=10)
+    assert int(every_k(0)) == 1
+    assert int(every_k(19)) == 1
+    assert int(every_k(20)) == 2
+    assert int(every_k(10_000)) == 2
+
+    # missing epoch 1 -> implicit {1: 1} (reference `pl_utils.py:270-271`)
+    every_k = accum_schedule({4: 8}, steps_per_epoch=4)
+    assert int(every_k(0)) == 1
+    assert int(every_k(11)) == 1  # 3 epochs x 4 updates
+    assert int(every_k(12)) == 8
+
+    with pytest.raises(TypeError):
+        accum_schedule({}, steps_per_epoch=4)
+    with pytest.raises(TypeError):
+        accum_schedule({1: 1.5}, steps_per_epoch=4)
+    with pytest.raises(IndexError):
+        accum_schedule({0: 2}, steps_per_epoch=4)
+
+
+def test_accum_dict_optimizer_accumulates(tiny_env):
+    """build_optimizer with a dict schedule: updates are applied only
+    every k-th mini-step once past the scheduled epoch."""
+    import optax
+
+    from bisinger_tpu.training.optim import build_optimizer
+
+    hp = tiny_env.replace(accumulate_grad_batches={1: 2})
+    tx = build_optimizer(hp, schedule="rsqrt", steps_per_epoch=4)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    g = {"w": jnp.full((3,), 0.5)}
+    up1, st = tx.update(g, st, params)  # mini-step 1 of 2: held
+    assert float(jnp.abs(up1["w"]).max()) == 0.0
+    up2, st = tx.update(g, st, params)  # mini-step 2 of 2: applied
+    assert float(jnp.abs(up2["w"]).max()) > 0.0
+
+
+def test_crf_dur_loss_rejected_for_singing(tiny_env):
+    """dur_loss: crf caps durations at 31 frames (torchcrf parity) —
+    singing/MIDI configs must fail loudly instead of silently clipping."""
+    from bisinger_tpu.training.tasks import AuxDecoderMIDITask
+
+    hp = tiny_env.replace(dur_loss="crf")
+    with pytest.raises(ValueError, match="crf"):
+        AuxDecoderMIDITask(hp, vocab_size=16)
+
+
+def test_energy_convention(tiny_env):
+    """Default energy matches the reference's e-based exp on the log10
+    mel (`fs2_utils.py:65`); energy_convention=pow10 selects 10**mel."""
+    from bisinger_tpu.data.dataset import M4SingerDataset
+
+    hp = tiny_env.replace(use_energy_embed=True)
+    ds = M4SingerDataset(hp, "train")
+    s = ds[0]
+    mel = s["mel"]
+    ref_energy = np.sqrt((np.exp(mel) ** 2).sum(-1))
+    np.testing.assert_allclose(s["energy"], ref_energy, rtol=1e-5)
+
+    hp10 = tiny_env.replace(use_energy_embed=True, energy_convention="pow10")
+    s10 = M4SingerDataset(hp10, "train")[0]
+    np.testing.assert_allclose(
+        s10["energy"], np.sqrt(((10.0 ** mel) ** 2).sum(-1)), rtol=1e-5
+    )
