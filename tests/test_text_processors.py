@@ -77,3 +77,54 @@ def test_zh_processor_hanzi_gated():
     except ImportError:
         with pytest.raises(RuntimeError, match="pypinyin"):
             ZhTxtProcessor.process("你好")
+
+
+def test_nsw_reference_conformance():
+    """Run OUR normalizer and the REFERENCE's own text_norm.py over an
+    NSW corpus and require identical outputs (VERDICT round-1 item 10).
+    Deliberate divergence (documented in text_norm.py): fullwidth ASCII
+    digits are halfwidth-normalized here but left alone by the
+    reference, so the corpus sticks to halfwidth digits."""
+    import importlib.util
+    import os
+
+    ref_path = "/root/reference/train_bisinger/utils/text_norm.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout unavailable")
+    spec = importlib.util.spec_from_file_location("ref_text_norm", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    corpus = [
+        # the reference's own nsw_test battery (`text_norm.py:723-738`)
+        "固话：0595-23865596或23880880。",
+        "手机：+86 19859213959或15659451527。",
+        "分数：32477/76391。",
+        "百分数：80.03%。",
+        "编号：31520181154418。",
+        "纯数：2983.07克或12345.60米。",
+        "日期：1999年2月20日或09年3月15号。",
+        "金钱：12块5，34.5元，20.1万",
+        "特殊：O2O或B2C。",
+        "3456万吨", "2938个", "938",
+        "今天吃了115个小笼包231个馒头",
+        "有62％的概率",
+        # cardinals incl. the 两-substitution and 零 runs
+        "我有2个苹果", "他跑了100米", "共15人", "第10名", "25岁",
+        "两条船2艘", "价格是1200元", "全长20202米высота", "一共9888元",
+        "20.5", "0.25", "102", "12", "200002", "1020304050",
+        # dates / phones / ids
+        "2024年", "5月1日", "98年5月", "1998年12月31日",
+        "房间号1203", "电话13912345678", "编号0101",
+        # fractions / percents / ranges-in-text
+        "3/4拍", "涨了5%", "降了0.5%", "占7/10",
+        # mixed CN/EN lyric-like lines
+        "我爱你2000年不变", "sing一首歌给你听123",
+    ]
+    diffs = []
+    for s in corpus:
+        ours = normalize_chinese(s)
+        theirs = ref.NSWNormalizer(s).normalize()
+        if ours != theirs:
+            diffs.append(f"  {s!r}:\n    ours:   {ours!r}\n    theirs: {theirs!r}")
+    assert not diffs, "NSW divergences vs reference:\n" + "\n".join(diffs)
