@@ -1,20 +1,26 @@
 """English text frontend: word -> CMU phones, syllabification, and
 syllable<->phone alignment.
 
-The reference uses a CMU lexicon file + spacy_syllables
-(`inference/m4singer/bisinger/a-m4-detect.py:30-136`). Neither the
-lexicon nor spacy ships in this environment, so this module provides:
+The reference uses an external CMU lexicon file + spacy_syllables
+(`inference/m4singer/bisinger/a-m4-detect.py:30-136`; its rm-lexicon-en
+paths point at the authors' machine and are not shipped). This module
+provides:
 
-  - a built-in mini CMU lexicon for common words, extendable from a
+  - a bundled lexicon (`assets/en_lexicon.txt`, ~700 high-frequency +
+    lyric-vocabulary entries, ARPABET no-stress), extendable from a
     user-supplied `lexicon.txt` ("WORD PH PH ..." lines, stress digits
-    stripped);
-  - a rule-based grapheme-to-phoneme fallback for OOV words;
+    stripped — the real CMU dict drops in directly);
+  - morphological lookup for inflected OOVs ('s/s/es/ed/ing/er/est
+    stripped, base re-looked-up, suffix phones attached by voicing
+    rules) before falling back to rule G2P;
+  - a rule-based grapheme-to-phoneme fallback for true OOV words;
   - a rule-based syllable splitter (vowel-group nuclei with onset
     maximization) replacing spacy_syllables;
-  - `map_syllables_to_phones`: greedy consonant-boundary alignment with
-    the same intent as the reference's `get_syllable_cmuph_mapping`
-    (`a-m4-detect.py:85-136`) but robust to arbitrary words (the
-    reference hardcodes fixups for specific lyrics).
+  - `map_syllables_to_phones`: syllable<->phone alignment. mode="robust"
+    (default) uses nucleus-anchored distribution; mode="ref" replicates
+    the reference's consonant-boundary walk
+    (`get_syllable_cmuph_mapping`, `a-m4-detect.py:85-136`) exactly,
+    conformance-tested against the reference's own function.
 """
 
 from __future__ import annotations
@@ -68,25 +74,111 @@ _G2P_SINGLE = {
 }
 
 
+_ASSET_LEXICON = os.path.join(os.path.dirname(__file__), "assets", "en_lexicon.txt")
+
+# suffix voicing classes for morphological attachment
+_VOICELESS = {"P", "T", "K", "F", "TH"}
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+
 class EnglishLexicon:
     def __init__(self, lexicon_path: Optional[str] = None):
         self.dict: Dict[str, List[str]] = {
             w: p.split() for w, p in _BUILTIN_LEXICON.items()
         }
-        if lexicon_path and os.path.exists(lexicon_path):
-            with open(lexicon_path) as f:
-                for line in f:
-                    parts = line.split()
-                    if len(parts) >= 2:
-                        word = parts[0].lower()
-                        phones = [re.sub(r"\d", "", p) for p in parts[1:]]
-                        self.dict.setdefault(word, phones)
+        for path in (_ASSET_LEXICON, lexicon_path):
+            if path and os.path.exists(path):
+                with open(path) as f:
+                    for line in f:
+                        if line.startswith("#"):
+                            continue
+                        parts = line.split()
+                        if len(parts) >= 2:
+                            word = parts[0].lower()
+                            phones = [re.sub(r"\d", "", p) for p in parts[1:]]
+                            self.dict[word] = phones
 
     def lookup(self, word: str) -> List[str]:
         word = word.lower().strip()
         if word in self.dict:
             return list(self.dict[word])
+        morphed = self._morph_lookup(word)
+        if morphed is not None:
+            return morphed
         return g2p_fallback(word)
+
+    def oov(self, word: str) -> bool:
+        """True when the word resolves through rule G2P (no dictionary
+        or morphological hit)."""
+        w = word.lower().strip()
+        return w not in self.dict and self._morph_lookup(w) is None
+
+    # -- morphology --------------------------------------------------------
+    def _base_forms(self, stem: str) -> List[str]:
+        """Candidate dictionary bases for a stripped stem: as-is,
+        restored silent e (mak -> make), undoubled final consonant
+        (runn -> run), y-restoration (carri -> carry)."""
+        cands = [stem, stem + "e"]
+        if len(stem) >= 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
+            cands.append(stem[:-1])
+        if stem.endswith("i"):
+            cands.append(stem[:-1] + "y")
+        return cands
+
+    def _lookup_base(self, stem: str) -> Optional[List[str]]:
+        for cand in self._base_forms(stem):
+            if cand in self.dict:
+                return list(self.dict[cand])
+        return None
+
+    def _s_suffix(self, phones: List[str]) -> List[str]:
+        last = phones[-1] if phones else ""
+        if last in _SIBILANT:
+            return phones + ["IH", "Z"]
+        if last in _VOICELESS:
+            return phones + ["S"]
+        return phones + ["Z"]
+
+    def _morph_lookup(self, word: str) -> Optional[List[str]]:
+        if len(word) < 3:
+            return None
+        if word.endswith("'s"):
+            base = self._lookup_base(word[:-2])
+            return self._s_suffix(base) if base else None
+        if word.endswith("es"):
+            base = self._lookup_base(word[:-2])
+            if base:
+                return self._s_suffix(base)
+        if word.endswith("s") and not word.endswith("ss"):
+            base = self._lookup_base(word[:-1])
+            if base:
+                return self._s_suffix(base)
+        if word.endswith("ed"):
+            base = self._lookup_base(word[:-2])
+            if base:
+                last = base[-1]
+                if last in ("T", "D"):
+                    return base + ["AH", "D"]
+                if last in _VOICELESS:
+                    return base + ["T"]
+                return base + ["D"]
+        if word.endswith("ing"):
+            base = self._lookup_base(word[:-3])
+            if base:
+                return base + ["IH", "NG"]
+        if word.endswith("est"):
+            base = self._lookup_base(word[:-3])
+            if base:
+                return base + ["AH", "S", "T"]
+        if word.endswith("er"):
+            base = self._lookup_base(word[:-2])
+            if base:
+                return base + ["ER"]
+        if word.endswith("ly"):
+            base = self._lookup_base(word[:-2])
+            if base:
+                return base + ["L", "IY"]
+        return None
 
 
 def g2p_fallback(word: str) -> List[str]:
@@ -151,13 +243,89 @@ def syllabify(word: str) -> List[str]:
     return [w[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if w[a:b]]
 
 
-def map_syllables_to_phones(
+def _syllable_onset_phone(syllable: str) -> str:
+    """The CMU phone the reference expects a syllable to start with
+    (`get_cmuph_for_consonan`, `a-m4-detect.py:67-81`): a few hardcoded
+    syllables, 'c' -> K, otherwise the first letter uppercased."""
+    if syllable in ("ces", "cem"):
+        return "S"
+    if syllable == "ship":
+        return "SH"
+    if syllable == "yond":
+        return "AA"
+    if syllable == "out":
+        return "AW"
+    if syllable in ("in", "ing"):
+        return "IH"
+    if syllable[0] == "c":
+        return "K"
+    return syllable[0].upper()
+
+
+_REF_FIXED = {
+    "enough": [["IH"], ["N", "AH"], ["F"]],
+    "lovers": [["L", "AH"], ["V", "ER", "Z"]],
+}
+_REF_RESPELL = {
+    ("fam", "i"): ("fa", "mi"),
+    ("nev", "er"): ("ne", "ver"),
+    ("ev", "er"): ("e", "ver"),
+    ("voic", "es"): ("voi", "ces"),
+}
+
+
+def _map_syllables_ref(
     syllables: List[str], phones: List[str]
+) -> Optional[List[List[str]]]:
+    """Reference algorithm (`get_syllable_cmuph_mapping`,
+    `a-m4-detect.py:85-136`): walk the phone list, closing the current
+    syllable when the phone equals the NEXT syllable's expected onset
+    phone. Returns None when the walk runs off the end (the reference
+    would IndexError) so the caller can fall back to the robust mode."""
+    syllables = list(syllables)
+    if syllables[0] == "enough":
+        return [list(p) for p in _REF_FIXED["enough"]]
+    if syllables[0] == "lovers":
+        return [list(p) for p in _REF_FIXED["lovers"]]
+    if syllables[:3] == ["for", "ev", "er"]:
+        return [["F", "ER"], ["EH"], ["V", "ER"]]
+    fix = _REF_RESPELL.get(tuple(syllables[:2]))
+    if fix is not None:
+        syllables[:2] = list(fix)
+
+    mapping: List[List[str]] = []
+    idx_slb = 0
+    idx_ph = 0
+    current: List[str] = []
+    while idx_slb != len(syllables) - 1:
+        if idx_ph >= len(phones):
+            return None  # reference would crash here
+        onset = _syllable_onset_phone(syllables[idx_slb + 1])
+        if phones[idx_ph] != onset:
+            current.append(phones[idx_ph])
+        else:
+            mapping.append(current)
+            idx_slb += 1
+            current = [phones[idx_ph]]
+        idx_ph += 1
+    current.extend(phones[idx_ph:])
+    mapping.append(current)
+    return mapping
+
+
+def map_syllables_to_phones(
+    syllables: List[str], phones: List[str], mode: str = "robust"
 ) -> List[List[str]]:
-    """Distribute CMU phones across syllables: each syllable owns one
-    vowel nucleus plus surrounding consonants (onset goes with the
-    following syllable). Falls back to an even split when nuclei don't
-    line up."""
+    """Distribute CMU phones across syllables. mode="ref" replicates the
+    reference's consonant-boundary walk exactly (falling back to robust
+    when that walk would crash); mode="robust" (default): each syllable
+    owns one vowel nucleus plus surrounding consonants (onset goes with
+    the following syllable), with an even-split fallback when nuclei
+    don't line up."""
+    if mode == "ref" and len(syllables) > 1:
+        ref = _map_syllables_ref(syllables, phones)
+        if ref is not None:
+            return ref
     n = len(syllables)
     if n <= 1:
         return [list(phones)]
