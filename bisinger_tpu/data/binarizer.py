@@ -166,6 +166,18 @@ def extract_f0(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
     return extract_f0_autocorr(wav, n_frames, hp)
 
 
+def derive_word_boundary(phs: List[str]) -> List[int]:
+    """Word-boundary flags from the pinyin phone inventory: 1 on every
+    yunmu (final) or silence phone — each CN word ends on its final
+    (reference `MidiSingingBinarizer.load_meta_data`,
+    `train_m4singer/binarize.py:203`). Used when the meta predates the
+    bilingual format and carries no explicit word_boundary."""
+    from bisinger_tpu.data.text.pinyin import FINALS
+
+    sil = {"AP", "SP", "<SIL>", "<AP>", "<SP>"}
+    return [1 if p in FINALS or p in sil else 0 for p in phs]
+
+
 # --------------------------------------------------------------------------
 # alignment
 # --------------------------------------------------------------------------
@@ -241,6 +253,12 @@ class M4SingerBinarizer:
                     wav_fn = f"{hp['raw_data_dir']}/{singer_}#{song_name}/{sent_id}.wav"
                 lang = song.get("lang", 0)
                 lang_seq = lang if isinstance(lang, list) else [lang] * len(song["phs"])
+                wdb = song.get("word_boundary")
+                if wdb is None:
+                    # original (monolingual) M4Singer meta carries no
+                    # word_boundary — derive it from the pinyin phone set
+                    # like the reference (`train_m4singer/binarize.py:203`)
+                    wdb = derive_word_boundary(song["phs"])
                 self.items[name] = {
                     "item_name": name,
                     "wav_fn": wav_fn,
@@ -250,7 +268,7 @@ class M4SingerBinarizer:
                     "pitch_midi": song["notes"],
                     "midi_dur": song["notes_dur"],
                     "is_slur": song["is_slur"],
-                    "word_boundary": song["word_boundary"],
+                    "word_boundary": wdb,
                     "lang": lang_seq,
                     "speechsing": [song.get("speechsing", 1)],
                     "spk": singer,
@@ -470,6 +488,55 @@ class TextGridBinarizer(M4SingerBinarizer):
             # pinyin-phone Chinese items only (see fix_zh_durations docs)
             mel2ph = fix_zh_durations(mel2ph, item["ph"].split(" "), f0=f0)
         return mel2ph
+
+
+class MidiSingingBinarizer(M4SingerBinarizer):
+    """PopCS-style MIDI singing binarizer (reference
+    `train_m4singer/binarize.py:184-282`): `processed_data_dir/meta.json`
+    is a JSON *list* of song items with explicit `wav_fn`, the speaker is
+    the fixed 'pop-cs', word boundaries derive from the pinyin phone set,
+    and the test split selects items *containing* any test prefix (the
+    M4Singer/raw_json_fn variants match by startswith)."""
+
+    def load_meta_data(self):
+        hp = self.hp
+        root = hp.get("processed_data_dir") or hp["raw_data_dir"]
+        for ds_id, data_dir in enumerate(str(root).split(",")):
+            with open(os.path.join(data_dir, "meta.json"), encoding="utf-8") as f:
+                songs = json.load(f)
+            multi = "," in str(root)
+            for song in songs:
+                name = song["item_name"]
+                spk = song.get("spk", "pop-cs")
+                if multi:
+                    name = f"ds{ds_id}_{name}"
+                    spk = f"ds{ds_id}_{spk}"
+                self.items[name] = {
+                    "item_name": name,
+                    "wav_fn": song["wav_fn"],
+                    "txt": song["txt"],
+                    "ph": " ".join(song["phs"]),
+                    "ph_durs": song["ph_dur"],
+                    "pitch_midi": song["notes"],
+                    "midi_dur": song["notes_dur"],
+                    "is_slur": song["is_slur"],
+                    "word_boundary": song.get("word_boundary")
+                    or derive_word_boundary(song["phs"]),
+                    "lang": [song.get("lang", 1)] * len(song["phs"]),
+                    "speechsing": [song.get("speechsing", 1)],
+                    "spk": spk,
+                }
+        self.item_names = sorted(self.items.keys())
+
+    def split_train_test(self) -> Tuple[List[str], List[str]]:
+        prefixes = self.hp["test_prefixes"]
+        test = [n for n in self.item_names if any(p in n for p in prefixes)]
+        if not test and self.item_names:
+            n_test = max(1, min(self.hp.get("test_num", 100), len(self.item_names) // 5))
+            test = self.item_names[-n_test:]
+        test_set = set(test)
+        train = [n for n in self.item_names if n not in test_set]
+        return train, test
 
 
 # reference class names

@@ -61,8 +61,19 @@ def make_synthetic_corpus(
     sample_rate: int = 24000,
     json_fn: str = "meta.json",
     singers: Optional[List[str]] = None,
+    fmt: str = "bisinger",
 ):
-    """Write wavs + metadata json under `root`. Returns the json path."""
+    """Write wavs + metadata json under `root`. Returns the json path.
+
+    fmt:
+      - "bisinger" (default): json-lines BiSinger meta with
+        word_boundary / lang / speechsing fields;
+      - "m4_original": json-lines in the *original* monolingual M4Singer
+        layout — pinyin phones only, NO word_boundary / lang / speechsing
+        (reference `train_m4singer/binarize.py:303-332`);
+      - "popcs": a JSON list with explicit wav_fn per item (reference
+        `MidiSingingBinarizer.load_meta_data`, `binarize.py:191-218`).
+    """
     rng = np.random.RandomState(seed)
     singers = singers or ["Alto-1", "Tenor-1"]
     os.makedirs(root, exist_ok=True)
@@ -71,7 +82,7 @@ def make_synthetic_corpus(
         singer = singers[i % len(singers)]
         song = f"song{i % 3}"
         sent = f"{i:04d}"
-        lang_id = i % 2
+        lang_id = i % 2 if fmt == "bisinger" else 0
         phones = _EN_PHONES if lang_id else _CN_PHONES
         n_ph = rng.randint(6, 12)
         phs, ph_dur, notes, notes_dur, is_slur, wdb = [], [], [], [], [], []
@@ -93,23 +104,31 @@ def make_synthetic_corpus(
         wav_dir = os.path.join(root, f"{singer}#{song}")
         os.makedirs(wav_dir, exist_ok=True)
         wav = render_notes(notes, ph_dur, sample_rate, rng)
-        save_wav(wav, os.path.join(wav_dir, f"{sent}.wav"), sample_rate)
-        lines.append(
-            {
-                "item_name": item_name,
-                "txt": "la " * n_ph,
-                "phs": phs,
-                "ph_dur": ph_dur,
-                "notes": notes,
-                "notes_dur": notes_dur,
-                "is_slur": is_slur,
-                "word_boundary": wdb,
-                "lang": lang_id,
-                "speechsing": i % 3 if i % 7 == 0 else 1,
-            }
-        )
+        wav_fn = os.path.join(wav_dir, f"{sent}.wav")
+        save_wav(wav, wav_fn, sample_rate)
+        item = {
+            "item_name": item_name,
+            "txt": "la " * n_ph,
+            "phs": phs,
+            "ph_dur": ph_dur,
+            "notes": notes,
+            "notes_dur": notes_dur,
+            "is_slur": is_slur,
+        }
+        if fmt == "bisinger":
+            item.update(
+                word_boundary=wdb,
+                lang=lang_id,
+                speechsing=i % 3 if i % 7 == 0 else 1,
+            )
+        elif fmt == "popcs":
+            item["wav_fn"] = wav_fn
+        lines.append(item)
     path = os.path.join(root, json_fn)
     with open(path, "w", encoding="utf-8") as f:
-        for line in lines:
-            f.write(json.dumps(line, ensure_ascii=False) + "\n")
+        if fmt == "popcs":
+            json.dump(lines, f, ensure_ascii=False)
+        else:
+            for line in lines:
+                f.write(json.dumps(line, ensure_ascii=False) + "\n")
     return path

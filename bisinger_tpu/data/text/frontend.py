@@ -37,6 +37,19 @@ from bisinger_tpu.data.text.pinyin import is_valid_pinyin, pinyin_to_cmu
 CHINESE = 1
 ENGLISH = 0
 
+# EN phones absent from the monolingual (train_m4singer) CN phone sets,
+# substituted with the nearest CN-trained phone. "system2" is the
+# pinyin-split model's table (`train_m4singer/bisinger-inference/
+# a-m4.py:393-411`); "system1" the averaged-split model's
+# (`a-m4-avg.py:393-414`, which also drops the '^' zero-initial marker).
+EN_PHONE_SUBST = {
+    "system2": {"TH": "S", "Y": "IY", "IH": "AY", "DH": "Z", "V": "W", "OY": "OW"},
+    "system1": {
+        "TH": "S", "Y": "IY", "IH": "AY", "DH": "Z",
+        "V": "UW", "W": "UW", "OY": "OW",
+    },
+}
+
 _CJK_RE = re.compile(r"[一-鿿]+")
 
 _NOTE_OFFSETS = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
@@ -93,9 +106,17 @@ class BilingualFrontend:
     """Score -> {ph tokens, pitch_midi, midi_dur, is_slur, lang,
     speechsing} arrays."""
 
-    def __init__(self, phone_encoder, lexicon_path: Optional[str] = None):
+    def __init__(
+        self,
+        phone_encoder,
+        lexicon_path: Optional[str] = None,
+        phone_subst: Optional[Any] = None,
+    ):
         self.encoder = phone_encoder
         self.lexicon = EnglishLexicon(lexicon_path)
+        if isinstance(phone_subst, str):
+            phone_subst = EN_PHONE_SUBST[phone_subst]
+        self.phone_subst = phone_subst or {}
 
     # ---- word level -------------------------------------------------------
     def preprocess_word_level(self, inp: Dict[str, Any]) -> Dict[str, Any]:
@@ -185,6 +206,20 @@ class BilingualFrontend:
                             emit(ph, note, dur, 0, ENGLISH)
                     for note, dur in zip(notes[len(mapping):], durs[len(mapping):]):
                         emit(mapping[-1][-1], note, dur, 1, ENGLISH)
+
+        if self.phone_subst:
+            # map out-of-training-set EN phones and drop '^' markers
+            # together with their note/dur/slur/lang entries
+            rows = [
+                (self.phone_subst.get(ph, ph), note, dur, slur, lg)
+                for ph, note, dur, slur, lg in zip(
+                    ph_lst, note_lst, midi_dur_lst, is_slur, lang
+                )
+                if ph != "^"
+            ]
+            ph_lst, note_lst, midi_dur_lst, is_slur, lang = (
+                [list(col) for col in zip(*rows)] if rows else ([], [], [], [], [])
+            )
 
         return {
             "ph_seq": " ".join(ph_lst),

@@ -48,7 +48,11 @@ class SVSInfer:
         self.encoder = build_phone_encoder(hp["binary_data_dir"])
         spk_map_fn = os.path.join(hp["binary_data_dir"], "spk_map.json")
         self.spk_map = json.load(open(spk_map_fn)) if os.path.exists(spk_map_fn) else {}
-        self.frontend = BilingualFrontend(self.encoder, lexicon_path)
+        # `en_phone_subst: system1|system2` selects the monolingual
+        # (train_m4singer) EN->CN phone substitution tables
+        self.frontend = BilingualFrontend(
+            self.encoder, lexicon_path, phone_subst=hp.get("en_phone_subst")
+        )
         self.task = DiffSingerMIDITask(hp, self.encoder.vocab_size)
         self.params = diffusion_params
         # PE runs in eval mode and needs both params and the BatchNorm

@@ -352,22 +352,28 @@ class FastSpeech2(nn.Module):
 class FastSpeech2MIDI(FastSpeech2):
     """BiSinger's FFT-Singer: adds midi / midi-dur / slur / lang (via ESM)
     embeddings to the encoder input and a speech-vs-singing style embedding
-    to the decoder input (reference `modules/diffsinger_midi/fs2.py`)."""
+    to the decoder input (reference `modules/diffsinger_midi/fs2.py`).
+
+    With `use_lang_embed: false` the lang/ESM/style additions are dropped,
+    yielding the original monolingual DiffSinger-MIDI conditioner the
+    `train_m4singer` systems 1/2 train against (their inference never
+    feeds lang/speechsing — `train_m4singer/bisinger-inference/a-m4.py:611-619`)."""
 
     def setup(self):
         self._setup_core()
         h = self.hp["hidden_size"]
-        self.esm = ESM(
-            hidden_size=h,
-            num_heads=8,
-            cross_batch=self.hp.get("esm_cross_batch", True),
-            name="esm",
-        )
+        if self.hp.get("use_lang_embed", True):
+            self.esm = ESM(
+                hidden_size=h,
+                num_heads=8,
+                cross_batch=self.hp.get("esm_cross_batch", True),
+                name="esm",
+            )
+            self.lang_embed = Embedding(2, h, name="lang_embed")
+            self.style_embed = Embedding(3, h, name="style_embed")
         self.midi_embed = Embedding(300, h, self.padding_idx, name="midi_embed")
         self.midi_dur_layer = nn.Dense(h, name="midi_dur_layer")
         self.is_slur_embed = Embedding(2, h, name="is_slur_embed")
-        self.lang_embed = Embedding(2, h, name="lang_embed")
-        self.style_embed = Embedding(3, h, name="style_embed")
 
     def encode(
         self,
@@ -387,8 +393,12 @@ class FastSpeech2MIDI(FastSpeech2):
             self.midi_dur_layer(midi_dur[:, :, None]) if midi_dur is not None else 0.0
         )
         slur_embedding = self.is_slur_embed(is_slur) if is_slur is not None else 0.0
-        lang_embedding = self.lang_embed(lang)
-        dynamic_lang = self.esm(x, lang_embedding, deterministic=deterministic)
+        if hp.get("use_lang_embed", True):
+            # ESM sees the bare token embedding (reference fs2.py:29-31)
+            lang_embedding = self.lang_embed(lang)
+            dynamic_lang = self.esm(x, lang_embedding, deterministic=deterministic)
+        else:
+            dynamic_lang = 0.0
         x = x + midi_embedding + midi_dur_embedding + slur_embedding + dynamic_lang
         x = self._add_positions(x, txt_tokens, deterministic)
         padding_mask = txt_tokens == self.padding_idx
@@ -396,6 +406,6 @@ class FastSpeech2MIDI(FastSpeech2):
 
     def _style_embed(self, kwargs):
         speechsing = kwargs.get("speechsing")
-        if speechsing is None:
+        if speechsing is None or not self.hp.get("use_lang_embed", True):
             return 0.0
         return self.style_embed(speechsing)[:, None, :]  # [B, 1, H]

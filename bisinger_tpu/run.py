@@ -31,8 +31,25 @@ TASK_ALIASES = {
 }
 
 
+BINARIZER_ALIASES = {
+    # reference binarizer_cls names (`data_gen/singing/binarize.py`,
+    # `train_m4singer/binarize.py`) -> this framework's classes
+    "data_gen.singing.binarize.SingingBinarizer": "bisinger_tpu.data.binarizer.SingingBinarizer",
+    "data_gen.singing.binarize.M4SingerBinarizer": "bisinger_tpu.data.binarizer.M4SingerBinarizer",
+    "data_gen.singing.binarize.MidiSingingBinarizer": "bisinger_tpu.data.binarizer.MidiSingingBinarizer",
+    "data_gen.singing.binarize.ZhSingingBinarizer": "bisinger_tpu.data.binarizer.ZhBinarizer",
+    "data_gen.tts.binarizer_zh.ZhBinarizer": "bisinger_tpu.data.binarizer.ZhBinarizer",
+}
+
+
 def resolve_task_cls(path: str):
     path = TASK_ALIASES.get(path, path) or "bisinger_tpu.training.tasks.DiffSingerMIDITask"
+    module, name = path.rsplit(".", 1)
+    return getattr(importlib.import_module(module), name)
+
+
+def resolve_binarizer_cls(path: str):
+    path = BINARIZER_ALIASES.get(path, path) or "bisinger_tpu.data.binarizer.M4SingerBinarizer"
     module, name = path.rsplit(".", 1)
     return getattr(importlib.import_module(module), name)
 
@@ -76,9 +93,8 @@ def main(argv=None):
     hp = hp.replace(exp_name=args.exp_name, work_dir=work_dir, infer=args.infer)
 
     if args.binarize:
-        from bisinger_tpu.data.binarizer import M4SingerBinarizer
-
-        M4SingerBinarizer(hp).process()
+        binarizer_cls = resolve_binarizer_cls(hp.get("binarizer_cls"))
+        binarizer_cls(hp).process()
         return 0
 
     if args.infer:

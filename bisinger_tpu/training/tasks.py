@@ -29,7 +29,7 @@ from flax.training import train_state
 
 from bisinger_tpu.config import HParams
 from bisinger_tpu.models.diffusion import GaussianDiffusion
-from bisinger_tpu.models.fs2 import FastSpeech2MIDI
+from bisinger_tpu.models.fs2 import FastSpeech2, FastSpeech2MIDI
 from bisinger_tpu.models.pe import PitchExtractor
 from bisinger_tpu.training import losses as L
 from bisinger_tpu.training.optim import build_optimizer, predictor_only_mask
@@ -106,7 +106,11 @@ class AuxDecoderMIDITask:
 
     # ---- model -----------------------------------------------------------
     def build_model(self):
-        return FastSpeech2MIDI(hp=self.hp, vocab_size=self.vocab_size)
+        # plain speech configs (use_midi off) train the reference's
+        # FastSpeech2Task model (`tasks/tts/fs2.py:71-76`)
+        if self.hp.get("use_midi"):
+            return FastSpeech2MIDI(hp=self.hp, vocab_size=self.vocab_size)
+        return FastSpeech2(hp=self.hp, vocab_size=self.vocab_size)
 
     def init_state(self, rng, batch: Dict[str, Any]) -> TrainState:
         variables = self.model.init(

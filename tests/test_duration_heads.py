@@ -4,6 +4,7 @@ is NotImplemented in the reference — here it decodes by expectation)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bisinger_tpu.models.predictors import (
     DurationPredictor,
@@ -89,8 +90,15 @@ def test_mog_and_crf_train_end_to_end():
     from __graft_entry__ import _batch, _tiny_hp
     from bisinger_tpu.training.tasks import AuxDecoderMIDITask
 
+    # crf is speech-only now: MIDI configs must refuse it (durations
+    # routinely exceed the 31-frame torchcrf ceiling)
+    with pytest.raises(ValueError, match="crf"):
+        AuxDecoderMIDITask(_tiny_hp().replace(dur_loss="crf"), 32)
+
     for dur_loss in ("mog", "crf"):
         hp = _tiny_hp().replace(dur_loss=dur_loss)
+        if dur_loss == "crf":
+            hp = hp.replace(use_midi=False)
         task = AuxDecoderMIDITask(hp, 32)
         batch = _batch(2, 16, 64, 32)
         state = task.init_state(jax.random.PRNGKey(0), batch)
