@@ -5,8 +5,10 @@ per chip for the full mel+vocoder path:
 
   score-like batch -> FastSpeech2MIDI conditioner -> shallow-diffusion
   PLMS sampling (K=1000, speedup 5 -> 200 NFE, the BiSinger production
-  config `usr/configs/m4-detect-ori-shift/diff.yaml:16-23`) -> HiFi-GAN
-  NSF vocoder -> waveform.
+  config `usr/configs/m4-detect-ori-shift/diff.yaml:16-23`) -> PE f0
+  re-estimation (production `pe_enable: true`, `diff.yaml:33`) ->
+  HiFi-GAN NSF vocoder -> waveform. BENCH_PE=0 drops the PE stage;
+  BENCH_B / BENCH_T sweep batch and frame count.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.json
@@ -29,6 +31,12 @@ def log(msg):
 def main():
     import jax
 
+    # BENCH_PLATFORM=cpu forces the host backend for smoke tests (the
+    # env var JAX_PLATFORMS alone is overridden by the site backend
+    # registration in this container)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     # persistent compile cache: first run pays the (slow, tunneled) TPU
     # compile; later runs start in seconds
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/bisinger_jax_cache")
@@ -39,6 +47,7 @@ def main():
     from bisinger_tpu.config import load_hparams
     from bisinger_tpu.training.tasks import DiffSingerMIDITask
     from bisinger_tpu.models.hifigan import HifiGanGenerator
+    from bisinger_tpu.models.pe import PitchExtractor
 
     # production-scale config (reference m4-detect-ori-shift); batch is
     # overridable for throughput sweeps
@@ -69,9 +78,12 @@ def main():
             upsample_rates=[8, 4, 2, 2],
             upsample_kernel_sizes=[16, 8, 4, 4],
             upsample_initial_channel=512,
-            # pallas where eligible (the VMEM guard falls back to XLA for
-            # large B*T automatically)
-            diffnet_backend=os.environ.get("BENCH_DIFFNET_BACKEND", "pallas"),
+            # XLA is the measured winner at the throughput batch (B=24,
+            # T=1024: XLA 834 ms vs batch-tiled pallas 1179 ms,
+            # scripts/probe_diffusion.py); the fused pallas kernel is the
+            # LATENCY mode — it wins +19% at B<=4. Set
+            # BENCH_DIFFNET_BACKEND=pallas BENCH_B=4 to measure it.
+            diffnet_backend=os.environ.get("BENCH_DIFFNET_BACKEND", "xla"),
             # PLMS 200-NFE is the reference-parity default; set
             # BENCH_SAMPLER=dpmpp for the fast ODE sampler
             diff_sampler=os.environ.get("BENCH_SAMPLER", "plms"),
@@ -99,8 +111,16 @@ def main():
         f00,
     )["params"]
 
+    # PE f0 re-estimation between diffusion and the vocoder — the
+    # production path (pe_enable). eval-mode apply uses batch_stats.
+    use_pe = os.environ.get("BENCH_PE", "1") == "1"
+    pe = PitchExtractor(hp=hp) if use_pe else None
+    pe_vars = (
+        pe.init({"params": jax.random.PRNGKey(3)}, mel0) if use_pe else None
+    )
+
     @jax.jit
-    def synth(params, voc_params, batch, rng):
+    def synth(params, voc_params, pe_vars, batch, rng):
         ret = task.model.apply(
             {"params": params},
             txt_tokens=batch["txt_tokens"],
@@ -116,7 +136,10 @@ def main():
             rngs={"diffusion": rng},
         )
         mel = ret["mel_out"]
-        f0 = jax.numpy.full((mel.shape[0], mel.shape[1]), 220.0)
+        if use_pe:
+            f0 = pe.apply(pe_vars, mel)["f0_denorm_pred"]
+        else:
+            f0 = jax.numpy.full((mel.shape[0], mel.shape[1]), 220.0)
         wav = voc.apply(
             {"params": voc_params}, mel, f0, rngs={"nsf": jax.random.fold_in(rng, 1)}
         )
@@ -129,14 +152,14 @@ def main():
     # warmup / compile (host fetch = hard sync)
     log("compiling + warmup...")
     t0 = time.perf_counter()
-    float(synth(params, voc_params, batch, rng))
+    float(synth(params, voc_params, pe_vars, batch, rng))
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     # timed runs, synced by host fetch each call
     n_runs = 3
     t0 = time.perf_counter()
     for i in range(n_runs):
-        float(synth(params, voc_params, batch, jax.random.fold_in(rng, i)))
+        float(synth(params, voc_params, pe_vars, batch, jax.random.fold_in(rng, i)))
         log(f"run {i}: cumulative {time.perf_counter() - t0:.2f}s")
     dt = (time.perf_counter() - t0) / n_runs
 
@@ -151,7 +174,11 @@ def main():
             {
                 "metric": "audio_seconds_per_second_per_chip",
                 "value": round(value, 3),
-                "unit": f"audio-s/s (B={B}, {sampler_desc} diffusion + HiFi-GAN NSF)",
+                "unit": (
+                    f"audio-s/s (B={B}, {sampler_desc} diffusion"
+                    + (" + PE f0" if use_pe else "")
+                    + " + HiFi-GAN NSF)"
+                ),
                 "vs_baseline": round(value / 1.0, 3),
             }
         )

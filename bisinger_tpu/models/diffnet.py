@@ -141,14 +141,20 @@ class DiffNet(nn.Module):
             return False
         if self.is_initializing():
             return False
+        from bisinger_tpu.ops.diffnet_pallas import pick_batch_chunk
+
         c = self.hp["residual_channels"]
         b, t = spec.shape[0], spec.shape[1]
-        # the fused kernel keeps 2*b*t*c bf16 hidden state VMEM-resident:
-        # it wins at small batch (latency regime, measured +19% at
-        # B=4xT=1024xC=256 = 1M elems) but loses to XLA's batched convs
-        # once the buffer crowds VMEM (B=16: 75 vs 136 audio-s/s)
+        # the kernel tiles over batch blocks (outermost grid dim) so it
+        # RUNS at any B, but it only WINS in the latency regime: measured
+        # on v5e at T=1024/C=256, pallas is +19% at B=4 yet loses to
+        # XLA's batched convs at B=24 (tiled, best chunk: 1179 ms vs XLA
+        # 834 ms — scripts/probe_diffusion.py). The regime guard keeps
+        # the win; `pallas_force: true` overrides it for A/B runs.
+        fits = pick_batch_chunk(b, t, c, 8, 48 * 1024 * 1024) > 0
         max_elems = int(self.hp.get("pallas_max_hidden_elems", 1024 * 1024))
-        return c % 128 == 0 and t % 8 == 0 and b * t * c <= max_elems
+        regime = b * t * c <= max_elems or self.hp.get("pallas_force", False)
+        return c % 128 == 0 and t % 8 == 0 and fits and regime
 
     def __call__(self, spec, diffusion_step, cond=None, cond_proj=None):
         c = self.hp["residual_channels"]

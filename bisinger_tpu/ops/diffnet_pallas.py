@@ -38,18 +38,20 @@ _RSQRT2 = 1.0 / math.sqrt(2.0)
 
 
 def _stack_kernel(
-    # refs streamed per (layer, t-chunk) grid step
+    # refs streamed per (batch-block, layer, t-chunk) grid step
     dsel_ref,  # [L, 1] int32 in SMEM: index into `uniq_dils` per layer
-    step_ref,  # [1, B, C] per-layer step embedding (already projected)
+    step_ref,  # [1, Bb, 1, C] per-layer step embedding (already projected;
+    # the singleton keeps the batch dim out of the lane/sublane positions
+    # so Bb need not be 8-aligned)
     wd_ref,  # [1, 3, C, 2C] dilated conv weight
     bd_ref,  # [1, 1, 2C] dilated conv bias
     wo_ref,  # [1, C, 2C] output projection weight
     bo_ref,  # [1, 1, 2C] output projection bias
-    cond_ref,  # [1, B, Tc, 2C] conditioner projection chunk
-    x0_ref,  # [B, Tc, C] initial hidden state chunk (streamed)
-    skip_ref,  # out: [B, Tc, C] skip chunk (mirror of skip_acc)
-    xbuf,  # scratch: [2, B, T + 2H, C] double-buffered padded hidden
-    skip_acc,  # scratch: [B, T, C] fp32 running skip sum
+    cond_ref,  # [1, Bb, Tc, 2C] conditioner projection chunk
+    x0_ref,  # [Bb, Tc, C] initial hidden state chunk (streamed)
+    skip_ref,  # out: [Bb, Tc, C] skip chunk (mirror of skip_acc)
+    xbuf,  # scratch: [2, Bb, T + 2H, C] double-buffered padded hidden
+    skip_acc,  # scratch: [Bb, T, C] fp32 running skip sum
     *,
     T: int,
     Tc: int,
@@ -57,29 +59,35 @@ def _stack_kernel(
     C: int,
     uniq_dils: Sequence[int],
 ):
-    # grid step 0 along the layer axis is a pure COPY pass: all chunks
-    # land in xbuf[0] before any conv reads a halo (a chunk's right halo
-    # belongs to the next chunk, so compute can't start at layer 0's
-    # first visit). Layers are computed at l = 1..L with lm = l - 1.
-    l = pl.program_id(0)
-    t = pl.program_id(1)
+    # grid = (n_b, L + 1, n_t): the batch axis is OUTERMOST so the
+    # hidden state of one batch block stays VMEM-resident through all
+    # layers; scratch is reused (re-initialised) per block. Layer step 0
+    # is a pure COPY pass: all chunks land in xbuf[0] before any conv
+    # reads a halo (a chunk's right halo belongs to the next chunk, so
+    # compute can't start at layer 0's first visit). Layers are computed
+    # at l = 1..L with lm = l - 1.
+    b = pl.program_id(0)
+    l = pl.program_id(1)
+    t = pl.program_id(2)
     B = x0_ref.shape[0]
     t0 = t * Tc
 
-    @pl.when((l == 0) & (t == 0))
+    @pl.when((b == 0) & (l == 0) & (t == 0))
     def _():
+        # one-time zero of the halo padding; the interior is overwritten
+        # by the copy pass of every batch block, the padding never is
         xbuf[...] = jnp.zeros(xbuf.shape, xbuf.dtype)
-        skip_acc[...] = jnp.zeros(skip_acc.shape, skip_acc.dtype)
 
     @pl.when(l == 0)
     def _():
         xbuf[0, :, pl.ds(H + t0, Tc), :] = x0_ref[...]
+        skip_acc[:, pl.ds(t0, Tc), :] = jnp.zeros((B, Tc, C), skip_acc.dtype)
 
     lm = jnp.maximum(l - 1, 0)
     src = jax.lax.rem(lm, 2)
     dst = jax.lax.rem(lm + 1, 2)
 
-    step = step_ref[0].astype(jnp.float32)  # [B, C]
+    step = step_ref[0, :, 0, :].astype(jnp.float32)  # [B, C]
 
     @pl.when(l > 0)
     def _compute():
@@ -151,6 +159,18 @@ def _stack_kernel(
     skip_ref[...] = skip_acc[:, pl.ds(t0, Tc), :]
 
 
+def pick_batch_chunk(
+    B: int, T: int, C: int, H: int, budget_bytes: int
+) -> int:
+    """Largest divisor Bb of B whose VMEM scratch (double-buffered bf16
+    hidden + fp32 skip accumulator) fits `budget_bytes`; 0 if none."""
+    cost_per_b = 2 * (T + 2 * H) * C * 2 + T * C * 4
+    for bb in sorted((d for d in range(1, B + 1) if B % d == 0), reverse=True):
+        if bb * cost_per_b <= budget_bytes:
+            return bb
+    return 0
+
+
 def fused_residual_stack(
     x0: jax.Array,  # [B, T, C] fp32/bf16 — after input_projection+relu
     cond_proj: jax.Array,  # [L, B, T, 2C]
@@ -162,6 +182,8 @@ def fused_residual_stack(
     dilations: Sequence[int],
     *,
     t_chunk: int = 128,
+    b_chunk: int = 0,  # 0 = auto (largest divisor of B fitting VMEM)
+    vmem_budget: int = 48 * 1024 * 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """-> skip_sum [B, T, C] fp32 (caller divides by sqrt(L))."""
@@ -175,6 +197,9 @@ def fused_residual_stack(
     # halo must be 8-aligned so window starts stay aligned
     H = max((max(uniq_dils) + 7) // 8 * 8, 8)
     n_t = T // Tc
+    Bb = b_chunk or pick_batch_chunk(B, T, C, H, vmem_budget)
+    assert Bb and B % Bb == 0, (B, T, C, Bb)
+    n_b = B // Bb
 
     dsel = jnp.asarray(
         [uniq_dils.index(int(d)) for d in dilations], jnp.int32
@@ -185,27 +210,27 @@ def fused_residual_stack(
         # the copy pass); clamp keeps the map valid at l == 0
         return jnp.maximum(l - 1, 0)
 
-    grid = (L + 1, n_t)
+    grid = (n_b, L + 1, n_t)
     out = pl.pallas_call(
         functools.partial(
             _stack_kernel, T=T, Tc=Tc, H=H, C=C, uniq_dils=uniq_dils
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, 1), lambda l, t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, C), lambda l, t: (lidx(l), 0, 0)),
-            pl.BlockSpec((1, 3, C, 2 * C), lambda l, t: (lidx(l), 0, 0, 0)),
-            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (lidx(l), 0, 0)),
-            pl.BlockSpec((1, C, 2 * C), lambda l, t: (lidx(l), 0, 0)),
-            pl.BlockSpec((1, 1, 2 * C), lambda l, t: (lidx(l), 0, 0)),
-            pl.BlockSpec((1, B, Tc, 2 * C), lambda l, t: (lidx(l), 0, t, 0)),
-            pl.BlockSpec((B, Tc, C), lambda l, t: (0, t, 0)),
+            pl.BlockSpec((L, 1), lambda b, l, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Bb, 1, C), lambda b, l, t: (lidx(l), b, 0, 0)),
+            pl.BlockSpec((1, 3, C, 2 * C), lambda b, l, t: (lidx(l), 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * C), lambda b, l, t: (lidx(l), 0, 0)),
+            pl.BlockSpec((1, C, 2 * C), lambda b, l, t: (lidx(l), 0, 0)),
+            pl.BlockSpec((1, 1, 2 * C), lambda b, l, t: (lidx(l), 0, 0)),
+            pl.BlockSpec((1, Bb, Tc, 2 * C), lambda b, l, t: (lidx(l), b, t, 0)),
+            pl.BlockSpec((Bb, Tc, C), lambda b, l, t: (b, t, 0)),
         ],
-        out_specs=pl.BlockSpec((B, Tc, C), lambda l, t: (0, t, 0)),
+        out_specs=pl.BlockSpec((Bb, Tc, C), lambda b, l, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, B, T + 2 * H, C), jnp.bfloat16),
-            pltpu.VMEM((B, T, C), jnp.float32),
+            pltpu.VMEM((2, Bb, T + 2 * H, C), jnp.bfloat16),
+            pltpu.VMEM((Bb, T, C), jnp.float32),
         ],
         compiler_params=None
         if interpret
@@ -213,7 +238,7 @@ def fused_residual_stack(
         interpret=interpret,
     )(
         dsel,
-        step_proj.astype(jnp.bfloat16),
+        step_proj[:, :, None, :].astype(jnp.bfloat16),
         wd.astype(jnp.bfloat16),
         bd.reshape(L, 1, 2 * C).astype(jnp.float32),
         wo.astype(jnp.bfloat16),
@@ -263,7 +288,9 @@ def diffnet_forward_pallas(params, hp, spec, t, cond_proj, *, interpret: bool = 
     bo = jnp.stack([params[f"res_{i}"]["output_projection"]["bias"] for i in range(L)])
 
     skip = fused_residual_stack(
-        x, cond_proj, step_proj, wd, bd, wo, bo, dilations, interpret=interpret
+        x, cond_proj, step_proj, wd, bd, wo, bo, dilations,
+        b_chunk=int(hp.get("pallas_b_chunk", 0)),
+        interpret=interpret,
     )
     y = skip * (1.0 / math.sqrt(L))
     y = jax.nn.relu(conv1("skip_projection", y))

@@ -130,3 +130,32 @@ def test_chunk_boundary_halo():
     for lo, hi in [(112, 144), (0, 16), (240, 256)]:
         err = np.max(np.abs(out[:, lo:hi] - ref[:, lo:hi]))
         assert err / scale < 0.05, (lo, hi, err, scale)
+
+
+def test_batch_tiling_blocks():
+    """Multiple batch blocks (grid n_b > 1) must match the single-block
+    result exactly — scratch is re-initialised per block, halo padding
+    stays zero across blocks."""
+    import math
+
+    from bisinger_tpu.ops.diffnet_pallas import fused_residual_stack
+
+    rng = jax.random.PRNGKey(7)
+    B, T, C, L = 4, 128, 256, 4
+    dils = [2 ** (i % 2) for i in range(L)]
+    keys = jax.random.split(rng, 8)
+    x0 = jax.random.normal(keys[0], (B, T, C))
+    cond = jax.random.normal(keys[1], (L, B, T, 2 * C))
+    step = jax.random.normal(keys[2], (L, B, C))
+    wd = 0.1 * jax.random.normal(keys[3], (L, 3, C, 2 * C))
+    bd = 0.1 * jax.random.normal(keys[4], (L, 2 * C))
+    wo = 0.1 * jax.random.normal(keys[5], (L, C, 2 * C))
+    bo = 0.1 * jax.random.normal(keys[6], (L, 2 * C))
+
+    full = fused_residual_stack(
+        x0, cond, step, wd, bd, wo, bo, dils, b_chunk=4, interpret=True
+    )
+    tiled = fused_residual_stack(
+        x0, cond, step, wd, bd, wo, bo, dils, b_chunk=1, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full), atol=1e-5)
