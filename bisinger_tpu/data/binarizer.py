@@ -128,7 +128,13 @@ def extract_spk_embed(
             preprocess_wav(wav, source_sr=sample_rate)
         ).astype(np.float32)
     except ImportError:
-        pass
+        _warn_fallback(
+            "spk_embed",
+            "resemblyzer not installed — speaker embeddings fall back to "
+            "mel-statistics vectors (discriminative but NOT a trained "
+            "voice encoder; cross-corpus speaker similarity will be "
+            "poor)",
+        )
     if mel is None:
         mel = wav2spec(
             wav, sample_rate=sample_rate, fft_size=512, hop_size=128,
@@ -157,12 +163,30 @@ def extract_spk_embed(
     return emb / max(np.linalg.norm(emb), 1e-6)
 
 
+_FALLBACK_WARNED: set = set()
+
+
+def _warn_fallback(key: str, msg: str):
+    """One-time loud warning when an approximate extractor stands in for
+    the reference one — binarizing a REAL corpus with these silently
+    degrades training data quality (VERDICT r1 weak #6)."""
+    if key not in _FALLBACK_WARNED:
+        _FALLBACK_WARNED.add(key)
+        print(f"| WARNING: {msg}", flush=True)
+
+
 def extract_f0(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
     if hp.get("pitch_extractor", "parselmouth") == "parselmouth":
         try:
             return extract_f0_parselmouth(wav, n_frames, hp)
         except ImportError:
-            pass
+            _warn_fallback(
+                "f0",
+                "parselmouth not installed — falling back to the numpy "
+                "autocorrelation pitch tracker (APPROXIMATE: octave errors "
+                "and voicing flips vs Praat are expected; do not binarize "
+                "a production corpus this way)",
+            )
     return extract_f0_autocorr(wav, n_frames, hp)
 
 
