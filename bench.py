@@ -90,6 +90,10 @@ def main():
             dpm_steps=int(os.environ.get("BENCH_DPM_STEPS", 40)),
             # exact time-folded MRF stages (see ops/time_fold.py)
             vocoder_time_fold=int(os.environ.get("BENCH_VOC_FOLD", 4)),
+            # BENCH_MRF=pallas runs the EXPERIMENTAL fused MRF kernel
+            # (ops/mrf_pallas.py) — measured slower than XLA on v5e;
+            # see the STATUS note there. Off by default.
+            vocoder_mrf_backend=os.environ.get("BENCH_MRF", ""),
         )
     )
 

@@ -124,6 +124,27 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+class _MRFBank(nn.Module):
+    """Parameter bank with the exact ResBlock1 tree ({conv1_i, conv2_i}
+    x {kernel, bias}) for the fused Pallas MRF path, which applies the
+    weights itself (`ops/mrf_pallas.py`)."""
+
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self):
+        out = {}
+        for i in range(len(self.dilations)):
+            for which in (1, 2):
+                w, b = _ConvParams(
+                    self.channels, self.kernel_size, name=f"conv{which}_{i}"
+                )()
+                out[f"conv{which}_{i}"] = {"kernel": w, "bias": b}
+        return out
+
+
 class FoldedResBlock1(nn.Module):
     """ResBlock1 computed in time-folded space [B, T/f, f*C] with
     exactly-equivalent folded weights (`ops/time_fold.py`): the narrow-C
@@ -303,20 +324,52 @@ class HifiGanGenerator(nn.Module):
                 x_in = fold_time(x, fold)
             else:
                 x_in = x
-            mrf = 0.0
-            for j, (ksz, dil) in enumerate(zip(rk, rd)):
-                if fold > 1:
-                    block = FoldedResBlock1(
-                        channels=c_cur, fold=fold, kernel_size=ksz,
-                        dilations=dil, dtype=dtype, name=f"res_{i}_{j}",
-                    )
-                else:
-                    block = resblock(
+            # EXPERIMENTAL fused MRF: the whole 18-conv stage in one
+            # Pallas kernel (ops/mrf_pallas.py) — one HBM read + one
+            # write instead of ~36 per-conv activation passes. Same
+            # param tree as the per-block modules, so checkpoints and
+            # the torch importer are unaffected. Inference-only, and
+            # currently SLOWER than the XLA path on v5e (see the
+            # STATUS note in ops/mrf_pallas.py) — off by default.
+            if (
+                hp.get("vocoder_mrf_backend") == "pallas"
+                and resblock is ResBlock1
+                and x_in.shape[-1] % 128 == 0  # fill the MXU lanes; use
+                # vocoder_time_fold to bring narrow tail stages to 128
+                and not self.is_initializing()
+            ):
+                from bisinger_tpu.ops.mrf_pallas import fused_mrf_stage
+
+                bank = [
+                    _MRFBank(
                         channels=c_cur, kernel_size=ksz, dilations=dil,
-                        dtype=dtype, name=f"res_{i}_{j}",
-                    )
-                mrf = mrf + block(x_in)
-            x = mrf / len(rk)
+                        name=f"res_{i}_{j}",
+                    )()
+                    for j, (ksz, dil) in enumerate(zip(rk, rd))
+                ]
+                x = fused_mrf_stage(
+                    x_in, bank, rk, rd, fold,
+                    compute_dtype=dtype,
+                    # "roll" is the only mode that compiles in sane
+                    # time on the tunneled toolchain (see STATUS note)
+                    tap_mode=hp.get("vocoder_mrf_tap_mode", "roll"),
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                mrf = 0.0
+                for j, (ksz, dil) in enumerate(zip(rk, rd)):
+                    if fold > 1:
+                        block = FoldedResBlock1(
+                            channels=c_cur, fold=fold, kernel_size=ksz,
+                            dilations=dil, dtype=dtype, name=f"res_{i}_{j}",
+                        )
+                    else:
+                        block = resblock(
+                            channels=c_cur, kernel_size=ksz, dilations=dil,
+                            dtype=dtype, name=f"res_{i}_{j}",
+                        )
+                    mrf = mrf + block(x_in)
+                x = mrf / len(rk)
             if fold > 1:
                 x = unfold_time(x, fold)
         x = nn.leaky_relu(x)
