@@ -1,0 +1,106 @@
+"""Training-step throughput at production scale on one chip.
+
+The reference's training budgets are 320k steps for the FFT-Singer
+stage and up to 900k for the diffusion stage on one GPU
+(`/root/reference/doc/train.md:10`, `usr/configs/*/diff.yaml:20`); it
+publishes no steps/s. This measures both stages' jitted train_step at
+the production model size (hidden 256 / 20 residual layers, B x T_mel
+= 24 x 1024 tokens-bucketed batch) and reports steps/s plus the
+wall-clock days each reference budget would take on one chip.
+
+Run: python scripts/bench_train.py          (real chip)
+     BT_PLATFORM=cpu python scripts/bench_train.py  (host smoke)
+Env: BT_B (24), BT_T (1024), BT_STEPS (20).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[bench_train] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    if os.environ.get("BT_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BT_PLATFORM"])
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/bisinger_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.training.tasks import AuxDecoderMIDITask, DiffSingerMIDITask
+
+    B = int(os.environ.get("BT_B", 24))
+    T_MEL = int(os.environ.get("BT_T", 1024))
+    T_TOKENS = 128
+    VOCAB = 64
+    n_steps = int(os.environ.get("BT_STEPS", 20))
+
+    hp = load_hparams(
+        overrides=dict(
+            hidden_size=256,
+            enc_layers=4,
+            dec_layers=4,
+            residual_layers=20,
+            residual_channels=256,
+            dilation_cycle_length=4,
+            timesteps=1000,
+            K_step=1000,
+            schedule_type="linear",
+            max_beta=0.02,
+            gaussian_start=True,
+            use_pitch_embed=False,
+            num_spk=21,
+            max_frames=T_MEL,
+            bucket_tokens=[T_TOKENS],
+            bucket_frames=[T_MEL],
+        )
+    )
+
+    from __graft_entry__ import _batch
+
+    batch = _batch(B, T_TOKENS, T_MEL, VOCAB, seed=0)
+    rng = jax.random.PRNGKey(0)
+
+    out = {"metric": "train_steps_per_second", "unit": f"steps/s (B={B}, T={T_MEL})"}
+    budgets = {"fs2": 320_000, "diff": 900_000}
+    for name, task_cls in (
+        ("fs2", AuxDecoderMIDITask),
+        ("diff", DiffSingerMIDITask),
+    ):
+        task = task_cls(hp, VOCAB)
+        state = task.init_state(rng, batch)
+        log(f"{name}: compiling...")
+        t0 = time.perf_counter()
+        state, losses = task.train_step(state, batch, rng)
+        # host fetch = hard sync (block_until_ready returns early on the
+        # axon tunnel platform)
+        float(next(iter(losses.values())))
+        log(f"{name}: warmup {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, losses = task.train_step(
+                state, batch, jax.random.fold_in(rng, i)
+            )
+            float(next(iter(losses.values())))
+        dt = (time.perf_counter() - t0) / n_steps
+        out[name] = {
+            "steps_per_s": round(1 / dt, 3),
+            "ms_per_step": round(dt * 1000, 2),
+            "days_to_reference_budget": round(budgets[name] * dt / 86400, 2),
+            "frames_per_s": round(B * T_MEL / dt),
+        }
+        log(f"{name}: {1/dt:.2f} steps/s ({dt*1000:.0f} ms/step)")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
