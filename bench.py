@@ -51,7 +51,9 @@ def main():
 
     # production-scale config (reference m4-detect-ori-shift); batch is
     # overridable for throughput sweeps
-    B = int(os.environ.get("BENCH_B", 24))
+    # B=32 is the measured single-chip throughput sweet spot
+    # (B=24: 142.7, B=32: 151.4, B=48: 138.4 audio-s/s — BASELINE.md)
+    B = int(os.environ.get("BENCH_B", 32))
     T_TOKENS = 128
     T_MEL = int(os.environ.get("BENCH_T", 1024))  # ~5.46 s at 24 kHz / hop 128
     VOCAB = 64

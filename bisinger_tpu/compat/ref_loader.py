@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import importlib
+import importlib.util
 import os
 import sys
 import types
@@ -155,6 +156,50 @@ class Reference:
     @property
     def pe_module(self):
         return importlib.import_module("modules.fastspeech.pe")
+
+    @property
+    def hifigan_module(self):
+        # The reference has a LATENT CIRCULAR IMPORT:
+        # `modules/parallel_wavegan/layers/__init__.py:1` imports
+        # residual_stack.py, whose `from . import CausalConv1d` reads the
+        # not-yet-populated package — `import modules.hifigan.hifigan`
+        # fails from a clean interpreter even in the reference checkout.
+        # Pre-register the package and exec its submodules in dependency
+        # order so the relative import resolves.
+        pkg_name = "modules.parallel_wavegan.layers"
+        if pkg_name not in sys.modules:
+            # pqmf.py imports `kaiser` from scipy.signal, which moved to
+            # scipy.signal.windows in scipy >= 1.13
+            try:
+                import scipy.signal as _ss
+                import scipy.signal.windows as _ssw
+
+                if not hasattr(_ss, "kaiser"):
+                    _ss.kaiser = _ssw.kaiser
+            except ImportError:
+                pass
+            importlib.import_module("modules.parallel_wavegan")
+            root = os.path.join(REF_ROOT, "modules", "parallel_wavegan", "layers")
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = [root]
+            sys.modules[pkg_name] = pkg
+            for sub in (
+                "causal_conv",
+                "pqmf",
+                "residual_block",
+                "upsample",
+                "residual_stack",
+            ):
+                spec = importlib.util.spec_from_file_location(
+                    f"{pkg_name}.{sub}", os.path.join(root, f"{sub}.py")
+                )
+                mod = importlib.util.module_from_spec(spec)
+                sys.modules[f"{pkg_name}.{sub}"] = mod
+                spec.loader.exec_module(mod)
+                for k in dir(mod):
+                    if not k.startswith("_"):
+                        setattr(pkg, k, getattr(mod, k))
+        return importlib.import_module("modules.hifigan.hifigan")
 
     class FakeDictionary:
         """Duck-type of the reference's phone dictionary: only `len()` and

@@ -392,3 +392,44 @@ class TestPitchExtractor:
             ours["f0_denorm_pred"], tref["f0_denorm_pred"].numpy(),
             what="f0_denorm_pred",
         )
+
+
+class TestHifiGanGenerator:
+    """The reference's OWN HiFi-GAN generator
+    (`modules/hifigan/hifigan.py:104-175`) vs our flax generator with
+    weights carried over by the production checkpoint importer
+    (`vocoders/torch_import.py`). Deterministic (no-NSF) path — the NSF
+    source-noise path is covered by tests/test_torch_import.py with
+    injected noise, since torch and JAX RNG streams differ."""
+
+    def test_no_f0_forward(self, ref):
+        RefGen = ref.hifigan_module.HifiGanGenerator
+
+        from bisinger_tpu.config import load_hparams
+        from bisinger_tpu.models.hifigan import HifiGanGenerator
+        from bisinger_tpu.vocoders.torch_import import import_hifigan_generator
+
+        h = dict(
+            resblock="1",
+            resblock_kernel_sizes=[3, 7],
+            resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+            upsample_rates=[4, 4],
+            upsample_kernel_sizes=[8, 8],
+            upsample_initial_channel=64,
+            use_pitch_embed=False,
+            audio_sample_rate=24000,
+        )
+        torch.manual_seed(7)
+        tm = RefGen(h)
+        tm.eval()
+
+        hp = load_hparams(overrides=dict(h, compute_dtype="float32"))
+        fparams = import_hifigan_generator(tm.state_dict(), hp)
+        fm = HifiGanGenerator(hp=hp)
+
+        rng = np.random.default_rng(11)
+        mel = rng.normal(-2, 1.5, (B, T_MEL, 80)).astype(np.float32)
+        with torch.no_grad():
+            twav = tm(torch.as_tensor(mel).transpose(1, 2)).numpy()[:, 0]
+        fwav = np.asarray(fm.apply({"params": fparams}, mel))
+        _allclose(fwav, twav, what="hifigan waveform (no NSF)")
