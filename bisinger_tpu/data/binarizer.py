@@ -275,7 +275,10 @@ class M4SingerBinarizer:
                 if wav_fn is None:
                     singer_, song_name, sent_id = name.split("#")
                     wav_fn = f"{hp['raw_data_dir']}/{singer_}#{song_name}/{sent_id}.wav"
-                lang = song.get("lang", 0)
+                # original monolingual M4Singer meta carries no lang;
+                # default CHINESE (1) to match MidiSingingBinarizer —
+                # the corpus is all-Chinese (frontend.py: CHINESE=1)
+                lang = song.get("lang", 1)
                 lang_seq = lang if isinstance(lang, list) else [lang] * len(song["phs"])
                 wdb = song.get("word_boundary")
                 if wdb is None:
@@ -299,9 +302,13 @@ class M4SingerBinarizer:
                 }
         self.item_names = sorted(self.items.keys())
 
+    @staticmethod
+    def _is_test_item(name: str, prefixes) -> bool:
+        return any(name.startswith(p) for p in prefixes)
+
     def split_train_test(self) -> Tuple[List[str], List[str]]:
         prefixes = self.hp["test_prefixes"]
-        test = [n for n in self.item_names if any(n.startswith(p) for p in prefixes)]
+        test = [n for n in self.item_names if self._is_test_item(n, prefixes)]
         if not test and self.item_names:
             # no prefixes configured: hold out the tail by count, mirroring
             # the reference's test_num/valid_num split (base_binarizer.py
@@ -552,15 +559,11 @@ class MidiSingingBinarizer(M4SingerBinarizer):
                 }
         self.item_names = sorted(self.items.keys())
 
-    def split_train_test(self) -> Tuple[List[str], List[str]]:
-        prefixes = self.hp["test_prefixes"]
-        test = [n for n in self.item_names if any(p in n for p in prefixes)]
-        if not test and self.item_names:
-            n_test = max(1, min(self.hp.get("test_num", 100), len(self.item_names) // 5))
-            test = self.item_names[-n_test:]
-        test_set = set(test)
-        train = [n for n in self.item_names if n not in test_set]
-        return train, test
+    @staticmethod
+    def _is_test_item(name: str, prefixes) -> bool:
+        # substring match (reference SingingBinarizer semantics), vs the
+        # base class's prefix match
+        return any(p in name for p in prefixes)
 
 
 # reference class names

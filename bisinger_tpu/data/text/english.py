@@ -322,7 +322,11 @@ def map_syllables_to_phones(
     owns one vowel nucleus plus surrounding consonants (onset goes with
     the following syllable), with an even-split fallback when nuclei
     don't line up."""
-    if mode == "ref" and len(syllables) > 1:
+    if mode == "ref" and syllables:
+        # no len>1 gate: the reference's fixed-word cases ("enough",
+        # "lovers") fire even for single-syllable inputs, returning more
+        # groups than syllables — conformance-tested against the
+        # reference's own function in tests/test_text_processors.py
         ref = _map_syllables_ref(syllables, phones)
         if ref is not None:
             return ref

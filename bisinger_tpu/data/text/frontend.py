@@ -209,9 +209,18 @@ class BilingualFrontend:
 
         if self.phone_subst:
             # map out-of-training-set EN phones and drop '^' markers
-            # together with their note/dur/slur/lang entries
+            # together with their note/dur/slur/lang entries. ENGLISH
+            # rows only: unlike the reference's lang-blind
+            # replace_en_with_cn (safe there because its monolingual
+            # training map contains no W/Y), this repo's pinyin_to_cmu
+            # DOES emit W/Y into Chinese training data (tools/meta.py),
+            # so substituting them on CN rows would feed the model
+            # phone sequences it never saw in training.
             rows = [
-                (self.phone_subst.get(ph, ph), note, dur, slur, lg)
+                (
+                    self.phone_subst.get(ph, ph) if lg == ENGLISH else ph,
+                    note, dur, slur, lg,
+                )
                 for ph, note, dur, slur, lg in zip(
                     ph_lst, note_lst, midi_dur_lst, is_slur, lang
                 )

@@ -234,7 +234,13 @@ class NSWNormalizer:
         for m in _RE_LETTER_TWO.findall(t):
             t = t.replace(m[0], m[1] + "2" + m[2], 1)
 
-        t = t.lstrip("^").rstrip("$")
+        # remove exactly the one sentinel added at each end — lstrip/
+        # rstrip would also eat genuine leading '^' / trailing '$'
+        # characters from the user's text
+        if t.startswith("^"):
+            t = t[1:]
+        if t.endswith("$"):
+            t = t[:-1]
         if remove_punc:
             punc = _CN_PUNC + string.punctuation
             t = t.translate(str.maketrans(punc, " " * len(punc)))

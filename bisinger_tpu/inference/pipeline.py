@@ -57,9 +57,13 @@ class SVSInfer:
         self.params = diffusion_params
         # PE runs in eval mode and needs both params and the BatchNorm
         # running stats; accept either {'params':..., 'batch_stats':...}
-        # or bare params (stats default to init values: mean 0 / var 1)
+        # or bare params (stats default to init values: mean 0 / var 1).
+        # Copy into a fresh dict: the caller's mapping must not be
+        # mutated (and may be an immutable FrozenDict).
         if pe_params is not None and "params" not in pe_params:
             pe_params = {"params": pe_params, "batch_stats": {}}
+        elif pe_params is not None:
+            pe_params = dict(pe_params)
         self.pe_params = pe_params
         if pe_params is not None:
             from bisinger_tpu.training.tasks import PitchExtractionTask

@@ -151,7 +151,12 @@ class DiffNet(nn.Module):
         # XLA's batched convs at B=24 (tiled, best chunk: 1179 ms vs XLA
         # 834 ms — scripts/probe_diffusion.py). The regime guard keeps
         # the win; `pallas_force: true` overrides it for A/B runs.
-        fits = pick_batch_chunk(b, t, c, 8, 48 * 1024 * 1024) > 0
+        # same halo the kernel derives (max dilation, 8-aligned) — a
+        # hardcoded H=8 approved shapes the kernel then rejects by
+        # assert when dilation_cycle_length pushes dilations past 8
+        max_dil = 2 ** (int(self.hp["dilation_cycle_length"]) - 1)
+        halo = max((max_dil + 7) // 8 * 8, 8)
+        fits = pick_batch_chunk(b, t, c, halo, 48 * 1024 * 1024) > 0
         max_elems = int(self.hp.get("pallas_max_hidden_elems", 1024 * 1024))
         regime = b * t * c <= max_elems or self.hp.get("pallas_force", False)
         return c % 128 == 0 and t % 8 == 0 and fits and regime

@@ -301,6 +301,17 @@ class PitchExtractionTask:
         self.model = PitchExtractor(hp=hp)
         self.tx = build_optimizer(hp, schedule="rsqrt")
 
+    def configure_accumulation(self, steps_per_epoch: int):
+        """Same per-epoch grad-accum rebuild as AuxDecoderMIDITask —
+        without it, a dict-form accumulate_grad_batches would silently
+        train PE with no accumulation."""
+        from collections.abc import Mapping
+
+        if isinstance(self.hp.get("accumulate_grad_batches", 1), Mapping):
+            self.tx = build_optimizer(
+                self.hp, schedule="rsqrt", steps_per_epoch=steps_per_epoch
+            )
+
     def init_state(self, rng, batch) -> PETrainState:
         variables = self.model.init({"params": rng}, batch["mels"])
         return PETrainState.create(

@@ -128,3 +128,71 @@ def test_nsw_reference_conformance():
         if ours != theirs:
             diffs.append(f"  {s!r}:\n    ours:   {ours!r}\n    theirs: {theirs!r}")
     assert not diffs, "NSW divergences vs reference:\n" + "\n".join(diffs)
+
+
+def test_syllable_mapping_reference_conformance():
+    """mode='ref' vs the reference's own get_syllable_cmuph_mapping /
+    get_cmuph_for_consonan (`a-m4-detect.py:65-137`). The reference file
+    is not importable (spacy loads at module scope), so the two pure
+    functions are extracted by AST and exec'd."""
+    import ast
+    import os
+
+    ref_file = os.environ.get(
+        "BISINGER_REF", "/root/reference/train_bisinger"
+    ) + "/inference/m4singer/bisinger/a-m4-detect.py"
+    if not os.path.exists(ref_file):
+        import pytest
+
+        pytest.skip("reference checkout unavailable")
+
+    from bisinger_tpu.data.text.english import map_syllables_to_phones
+
+    tree = ast.parse(open(ref_file).read())
+    ns = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "get_syllable_cmuph_mapping",
+            "get_cmuph_for_consonan",
+        ):
+            mod = ast.Module(body=[node], type_ignores=[])
+            exec(compile(mod, ref_file, "exec"), ns)
+    ref_fn = ns["get_syllable_cmuph_mapping"]
+
+    cases = [
+        # fixed-word overrides (incl. single-syllable "enough"/"lovers")
+        (["enough"], ["IH", "N", "AH", "F"]),
+        (["lovers"], ["L", "AH", "V", "ER", "Z"]),
+        (["for", "ev", "er"], ["F", "ER", "EH", "V", "ER"]),
+        # respelled pairs feeding the consonant walk
+        (["fam", "i", "ly"], ["F", "AE", "M", "AH", "L", "IY"]),
+        (["nev", "er"], ["N", "EH", "V", "ER"]),
+        (["ev", "er"], ["EH", "V", "ER"]),
+        (["voic", "es"], ["V", "OY", "S", "IH", "Z"]),
+        # generic onset-boundary walks
+        (["ta", "ble"], ["T", "EY", "B", "AH", "L"]),
+        (["cir", "cle"], ["S", "ER", "K", "AH", "L"]),
+        (["with", "in"], ["W", "IH", "DH", "IH", "N"]),
+        (["ship", "ping"], ["SH", "IH", "P", "IH", "NG"]),
+        # single syllable, no override
+        (["dog"], ["D", "AO", "G"]),
+    ]
+    for syls, phones in cases:
+        ours = map_syllables_to_phones(list(syls), list(phones), mode="ref")
+        theirs = ref_fn(list(syls), list(phones))  # mutates syllable_lst
+        assert ours == theirs, (syls, phones, ours, theirs)
+
+    # walks that never find the next onset (e.g. a vowel-initial second
+    # syllable: onset('er') is the single letter 'E', matching no CMU
+    # phone): the reference IndexErrors; mode='ref' falls back to the
+    # robust partition instead
+    import pytest
+
+    for bad in [
+        (["sing", "er"], ["S", "IH", "NG", "ER"]),
+        (["xx", "qq"], ["AH", "AH"]),
+    ]:
+        with pytest.raises(IndexError):
+            ref_fn(list(bad[0]), list(bad[1]))
+        out = map_syllables_to_phones(list(bad[0]), list(bad[1]), mode="ref")
+        assert sum(out, []) == bad[1] and len(out) == 2
