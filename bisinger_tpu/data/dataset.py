@@ -96,8 +96,17 @@ class M4SingerDataset:
             lin = np.exp(mel) if conv == "ref" else 10.0 ** mel
             sample["energy"] = np.sqrt((lin ** 2).sum(-1)).astype(np.float32)
         if hp["binarization_args"].get("with_f0", True) and "f0" in item:
+            if hp["pitch_norm"] == "standard" and not hp.get("f0_mean"):
+                raise ValueError(
+                    "pitch_norm: standard requires f0_mean/f0_std in the "
+                    "config (the reference reads hparams['f0_mean']; "
+                    "without them f0 would be fed un-normalized)"
+                )
             f0, uv = norm_interp_f0_np(
-                item["f0"][:t], hp["pitch_norm"], use_uv=hp["use_uv"]
+                item["f0"][:t], hp["pitch_norm"],
+                f0_mean=hp.get("f0_mean") or 0.0,
+                f0_std=hp.get("f0_std") or 1.0,
+                use_uv=hp["use_uv"],
             )
             sample["f0"] = f0
             sample["uv"] = uv
@@ -175,6 +184,21 @@ def batch_by_size(
     return batches
 
 
+_TRUNC_WARNED = False
+
+
+def _warn_truncation(t_txt: int):
+    global _TRUNC_WARNED
+    if not _TRUNC_WARNED:
+        _TRUNC_WARNED = True
+        print(
+            f"| WARNING: items longer than the largest token bucket "
+            f"({t_txt}) are being truncated — raise bucket_tokens or "
+            f"lower max_input_tokens to avoid losing phones",
+            flush=True,
+        )
+
+
 def collate_batch(
     samples: List[Dict[str, Any]], hp: HParams, static_shapes: bool = True
 ) -> Dict[str, np.ndarray]:
@@ -187,13 +211,21 @@ def collate_batch(
         t_txt = pick_bucket(t_txt, hp["bucket_tokens"])
         t_mel = pick_bucket(t_mel, hp["bucket_frames"])
 
+    mel2ph = pad_1d([s["mel2ph"] for s in samples], t_mel)
+    if int(mel2ph.max(initial=0)) > t_txt:
+        # an item longer than the largest token bucket had its phones
+        # truncated by pad_1d; frames aligned to the dropped phones must
+        # become padding (mel2ph=0), NOT silently gather a wrong phone
+        # via the clamped take_along_axis under jit
+        _warn_truncation(t_txt)
+        mel2ph = np.where(mel2ph <= t_txt, mel2ph, 0)
     batch: Dict[str, Any] = {
         "ids": np.asarray([s["id"] for s in samples]),
         "item_names": [s["item_name"] for s in samples],
         "nsamples": len(samples),
         "txt_tokens": pad_1d([s["txt_tokens"] for s in samples], t_txt),
         "mels": pad_2d([s["mel"] for s in samples], t_mel),
-        "mel2ph": pad_1d([s["mel2ph"] for s in samples], t_mel),
+        "mel2ph": mel2ph,
         "spk_ids": np.asarray([s["spk_id"] for s in samples], dtype=np.int64),
     }
     if "f0" in samples[0]:
@@ -223,8 +255,29 @@ def collate_batch(
     return batch
 
 
+def _slice_batch_rows(
+    batch: Dict[str, Any], shard_index: int, num_shards: int
+) -> Dict[str, Any]:
+    """This process's row range of a collated batch (equal split; the
+    loader pads the sample list to a multiple of num_shards first)."""
+    n = int(batch["txt_tokens"].shape[0])
+    per = n // num_shards
+    lo, hi = shard_index * per, (shard_index + 1) * per
+    out = {}
+    for k, v in batch.items():
+        if k == "nsamples":
+            out[k] = per
+        elif isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n:
+            out[k] = v[lo:hi]
+        elif isinstance(v, list) and len(v) == n:
+            out[k] = v[lo:hi]
+        else:
+            out[k] = v
+    return out
+
+
 class DataLoader:
-    """Epoch iterator: order -> budget-batch -> host-shard -> collate.
+    """Epoch iterator: order -> budget-batch -> collate -> row-shard.
 
     endless=True repeats with fresh permutations (the reference's 1000x
     endless dataset, `tasks/tts/tts.py:57-82`, minus the materialized
@@ -272,10 +325,6 @@ class DataLoader:
         )
         if self.shuffle:
             rng.shuffle(batches)
-        if self.num_shards > 1:
-            # drop remainder so every host sees the same number of steps
-            usable = len(batches) - len(batches) % self.num_shards
-            batches = batches[self.shard_index : usable : self.num_shards]
         return batches
 
     def batches_per_epoch(self) -> int:
@@ -289,11 +338,25 @@ class DataLoader:
         while True:
             for batch_idx in self._epoch_batches(self.epoch):
                 samples = [self.dataset[i] for i in batch_idx]
-                if self.pad_batch_to_multiple and self.batch_multiple > 1:
+                mult = max(self.batch_multiple, self.num_shards)
+                if self.pad_batch_to_multiple and mult > 1:
                     # replicate last sample so batch dim is device-divisible
-                    while len(samples) % self.batch_multiple:
+                    while len(samples) % mult:
                         samples.append(samples[-1])
-                yield collate_batch(samples, self.hp)
+                batch = collate_batch(samples, self.hp)
+                if self.num_shards > 1:
+                    # multi-host SPMD needs every process to feed a
+                    # SHAPE-IDENTICAL local shard of the SAME global
+                    # batch (`jax.make_array_from_process_local_data`):
+                    # collate the full batch (identical bucket choice on
+                    # all hosts — the RNG is seed-synchronized), then
+                    # slice this process's row range. Round-robin batch
+                    # assignment would feed differently-shaped batches
+                    # per host and desynchronize the compiled programs.
+                    batch = _slice_batch_rows(
+                        batch, self.shard_index, self.num_shards
+                    )
+                yield batch
             self.epoch += 1
             if not self.endless:
                 return

@@ -139,6 +139,22 @@ class GaussianDiffusion(nn.Module):
             return jnp.mean((noise - x_recon) ** 2)
         raise NotImplementedError(self.loss_type)
 
+    def _dispatch_sampler(self, x, cond_proj, k, rng_loop):
+        """Sampler selection shared by all variants: dpmpp when
+        `diff_sampler=dpmpp`, PLMS when `pndm_speedup` is set, ancestral
+        DDPM otherwise (reference dispatch,
+        `shallow_diffusion_tts.py:258-279`)."""
+        hp = self.hp
+        sampler = hp.get("diff_sampler", "plms")
+        speedup = hp.get("pndm_speedup")
+        if sampler == "dpmpp":
+            return self.dpmpp_sample_loop(
+                x, cond_proj, k, int(hp.get("dpm_steps", 40))
+            )
+        if speedup:
+            return self.plms_sample_loop(x, cond_proj, k, int(speedup))
+        return self.ddpm_sample_loop(x, cond_proj, k, rng_loop)
+
     # ---- reverse process: DDPM scan --------------------------------------
     def predict_start_from_noise(self, x_t, t, noise):
         b = self.buffers
@@ -359,7 +375,17 @@ class GaussianDiffusion(nn.Module):
             b = txt_tokens.shape[0]
             t = jax.random.randint(rng_t, (b,), 0, self.K_step)
             x = self.norm_spec(ref_mels)  # [B, T, M]
-            ret["diff_loss"] = self.p_losses(x, t, cond, rng_noise)
+            # mask padded frames (the reference leaves its nonpadding
+            # call commented out, `shallow_diffusion_tts.py:243-244` —
+            # tolerable with its near-exact dynamic shapes, but this
+            # framework's static bucket padding would otherwise spend a
+            # large loss fraction denoising constant pad rows)
+            nonpadding = (
+                (mel2ph != 0).astype(x.dtype) if mel2ph is not None else None
+            )
+            ret["diff_loss"] = self.p_losses(
+                x, t, cond, rng_noise, nonpadding=nonpadding
+            )
             return ret
 
         ret["fs2_mel"] = ret["mel_out"]
@@ -376,18 +402,7 @@ class GaussianDiffusion(nn.Module):
         # conditioner projections are step-invariant: compute once, reuse
         # across all NFE (see models/diffnet.py)
         cond_proj = self.denoise_fn.cond_projections(cond)
-        sampler = hp.get("diff_sampler", "plms")
-        speedup = hp.get("pndm_speedup")
-        if sampler == "dpmpp":
-            x = self.dpmpp_sample_loop(
-                x, cond_proj, k, int(hp.get("dpm_steps", 40))
-            )
-        elif speedup:
-            x = self.plms_sample_loop(x, cond_proj, k, int(speedup))
-        else:
-            (x, _), _ = self._scan_ddpm(
-                x, cond_proj, jnp.arange(k - 1, -1, -1, dtype=jnp.int32), rng_loop
-            )
+        x = self._dispatch_sampler(x, cond_proj, k, rng_loop)
         x = self.denorm_spec(x)
         out_mel2ph = ret["mel2ph"]
         if mel2ph is not None:
@@ -434,7 +449,12 @@ class OfflineGaussianDiffusion(GaussianDiffusion):
             b = txt_tokens.shape[0]
             t = jax.random.randint(rng_t, (b,), 0, self.K_step)
             x = self.norm_spec(gt_mels)
-            ret["diff_loss"] = self.p_losses(x, t, cond, rng_noise)
+            nonpadding = (
+                (mel2ph != 0).astype(x.dtype) if mel2ph is not None else None
+            )
+            ret["diff_loss"] = self.p_losses(
+                x, t, cond, rng_noise, nonpadding=nonpadding
+            )
             return ret
         fs2_mels = self.norm_spec(fs2_mels)
         k = self.K_step
@@ -446,7 +466,10 @@ class OfflineGaussianDiffusion(GaussianDiffusion):
             t_start = jnp.full((fs2_mels.shape[0],), k - 1, dtype=jnp.int32)
             x = self.q_sample(fs2_mels, t_start, noise)
         cond_proj = self.denoise_fn.cond_projections(cond)
-        x = self.ddpm_sample_loop(x, cond_proj, k, rng_loop)
+        # same sampler dispatch as the online variant (PLMS/dpmpp honor
+        # pndm_speedup / diff_sampler; previously this always ran the
+        # full K-step DDPM loop)
+        x = self._dispatch_sampler(x, cond_proj, k, rng_loop)
         ret["mel_out"] = self.denorm_spec(x)
         return ret
 

@@ -211,7 +211,7 @@ class FastSpeech2(nn.Module):
             ret["pitch_pred"] = pitch_pred = self.pitch_predictor(pitch_inp)
             if f0 is None:
                 f0 = pitch_pred[:, :, 0]
-            f0_denorm = denorm_f0(f0, None, hp["pitch_norm"], use_uv=hp["use_uv"])
+            f0_denorm = denorm_f0(f0, None, hp["pitch_norm"], f0_mean=hp.get("f0_mean") or 0.0, f0_std=hp.get("f0_std") or 1.0, use_uv=hp["use_uv"])
             ret["f0_denorm"] = f0_denorm
             pitch = f0_to_coarse(f0_denorm)  # [B, T_txt]
             pitch = jnp.pad(pitch, ((0, 0), (1, 0)))
@@ -234,7 +234,7 @@ class FastSpeech2(nn.Module):
                 f0 = self.cwt2f0_norm(cwt_spec, mean, std, mel2ph)
                 if hp["use_uv"]:
                     uv = (cwt_out[:, :, -1] > 0).astype(jnp.float32)
-            f0_denorm = denorm_f0(f0, uv, hp["pitch_norm"], use_uv=hp["use_uv"])
+            f0_denorm = denorm_f0(f0, uv, hp["pitch_norm"], f0_mean=hp.get("f0_mean") or 0.0, f0_std=hp.get("f0_std") or 1.0, use_uv=hp["use_uv"])
             ret["f0_denorm"] = f0_denorm
             pitch = f0_to_coarse(f0_denorm)
             return self.pitch_embed(pitch)
@@ -244,7 +244,9 @@ class FastSpeech2(nn.Module):
         if hp["use_uv"] and uv is None:
             uv = (pitch_pred[:, :, 1] > 0).astype(jnp.float32)
         f0_denorm = denorm_f0(
-            f0, uv, hp["pitch_norm"], use_uv=hp["use_uv"], pitch_padding=pitch_padding
+            f0, uv, hp["pitch_norm"], f0_mean=hp.get("f0_mean") or 0.0,
+            f0_std=hp.get("f0_std") or 1.0, use_uv=hp["use_uv"],
+            pitch_padding=pitch_padding,
         )
         ret["f0_denorm"] = f0_denorm
         pitch = f0_to_coarse(f0_denorm)

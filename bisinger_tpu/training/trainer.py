@@ -143,6 +143,7 @@ class Trainer:
             max_sentences=max(hp["max_eval_sentences"], 1)
             if hp["max_eval_sentences"] > 0 else n_data,
             batch_multiple=n_data,
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
         )
         return train_dl, valid_dl
 
@@ -175,8 +176,12 @@ class Trainer:
             if hp["num_sanity_val_steps"] > 0 and self.global_step == 0:
                 self._run_validation(state, valid_dl, limit=hp["num_sanity_val_steps"], rng=rng)
 
-            meter = MeterDict()
-            t0 = time.time()
+            # metrics accumulate ON DEVICE (one tiny add per step) and are
+            # fetched once per log window — a per-step device_get would
+            # block the host on the TPU every step and serialize data
+            # prep with device compute
+            msum, mcount = None, 0
+            t0, tcount = time.time(), 0
             pending = first_batch if self.global_step == 0 else None
             while self.global_step < max_updates:
                 if pending is not None:
@@ -190,14 +195,21 @@ class Trainer:
                     state, batch, step_rng, **self._step_flags()
                 )
                 self.global_step += 1
-                meter.update(jax.device_get(metrics))
+                msum = (
+                    metrics
+                    if msum is None
+                    else jax.tree_util.tree_map(lambda a, b: a + b, msum, metrics)
+                )
+                mcount += 1
+                tcount += 1
 
                 if self.global_step % hp["log_interval"] == 0:
-                    avg = meter.averages()
-                    avg["steps_per_s"] = hp["log_interval"] / (time.time() - t0)
+                    fetched = jax.device_get(msum)
+                    avg = {k: float(v) / mcount for k, v in fetched.items()}
+                    avg["steps_per_s"] = tcount / max(time.time() - t0, 1e-9)
                     self.log(avg, "tr")
-                    meter = MeterDict()
-                    t0 = time.time()
+                    msum, mcount = None, 0
+                    t0, tcount = time.time(), 0
 
                 if self.global_step % hp["val_check_interval"] == 0:
                     val_loss = self._run_validation(state, valid_dl, rng=rng)
@@ -206,6 +218,9 @@ class Trainer:
                             self.global_step, jax.device_get(state),
                             metrics={"val_loss": val_loss},
                         )
+                    # exclude validation/checkpoint time from the next
+                    # window's steps_per_s
+                    t0, tcount = time.time(), 0
             # final checkpoint
             if hp.get("save_ckpt", True):
                 val_loss = self._run_validation(state, valid_dl, rng=rng)
@@ -272,12 +287,29 @@ class Trainer:
         first batch item (reference `fs2.py:368-433`,
         `diffspeech_task.py:113-122`). Best-effort: skipped without a TB
         writer, a matplotlib install, or an infer_step on the task."""
-        tb = self._tb_writer()
+        # rank guard FIRST: non-main processes must not create TB writers
+        # (event-file clutter on a shared work_dir)
         infer_step = getattr(self.task, "infer_step", None)
-        if tb is None or infer_step is None or not self.is_main:
+        if not self.is_main or infer_step is None:
+            return
+        tb = self._tb_writer()
+        if tb is None:
             return
         try:
-            ret = infer_step(state.params, shard_batch(batch, self.mesh), rng)
+            # only item [0] is plotted/vocoded — slice the batch to one
+            # row before sampling so the (expensive, full-NFE) diffusion
+            # scan doesn't run over the whole validation batch. Host
+            # arrays, no mesh sharding: this is a main-rank-local
+            # computation with no collectives (a rank-0-only call into a
+            # globally-sharded program would hang multi-host runs).
+            one = {
+                k: (v[:1] if isinstance(v, np.ndarray) and v.ndim >= 1 else v)
+                for k, v in batch.items()
+            }
+            one["nsamples"] = 1
+            if isinstance(one.get("item_names"), list):
+                one["item_names"] = one["item_names"][:1]
+            ret = infer_step(state.params, one, rng)
             mel_pred = np.asarray(jax.device_get(ret["mel_out"]))[0]
             mel_gt = np.asarray(batch["mels"])[0]
             from bisinger_tpu.utils import plot

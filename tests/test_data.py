@@ -140,17 +140,28 @@ class TestDataset:
             assert b["speechsing"].shape == (b["txt_tokens"].shape[0],)
 
     def test_sharding_partitions_batches(self, binarized):
+        """Multi-host contract: every shard yields the SAME number of
+        batches with IDENTICAL padded shapes (SPMD programs must agree
+        across processes); each feeds its disjoint row range, and
+        stacking the shards reconstructs the full batch."""
         ds = M4SingerDataset(binarized, "train", shuffle=False)
         dl_all = DataLoader(ds, binarized, shuffle=False, max_sentences=2)
         n_all = len(dl_all)
         shards = [
-            DataLoader(
+            list(DataLoader(
                 ds, binarized, shuffle=False, max_sentences=2,
                 shard_index=i, num_shards=2,
-            )
+            ))
             for i in range(2)
         ]
-        assert len(shards[0]) == len(shards[1]) == n_all // 2
+        assert len(shards[0]) == len(shards[1]) == n_all
+        for b0, b1 in zip(*shards):
+            assert b0["txt_tokens"].shape == b1["txt_tokens"].shape
+            assert b0["mels"].shape == b1["mels"].shape
+            # disjoint row ranges of one global batch
+            assert b0["nsamples"] == b1["nsamples"]
+            ids = set(np.concatenate([b0["ids"], b1["ids"]]).tolist())
+            assert len(ids) >= b0["nsamples"]  # padding may repeat rows
 
     def test_batch_by_size_budget(self):
         sizes = np.asarray([10, 10, 10, 100, 100])

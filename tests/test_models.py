@@ -263,3 +263,38 @@ def test_spec2wav_batch_matches_per_item():
     for b in range(3):
         single = voc.spec2wav(mels[b])
         np.testing.assert_allclose(batch_wavs[b], single, atol=1e-5)
+
+
+def test_diff_loss_ignores_padded_frames():
+    """The diffusion training loss masks bucket-padding frames: garbage
+    in mel rows where mel2ph == 0 must not change diff_loss (the
+    reference ships the nonpadding call commented out — tolerable with
+    its near-exact dynamic shapes, harmful with static buckets)."""
+    import jax
+
+    from __graft_entry__ import _batch, _tiny_hp
+    from bisinger_tpu.training.tasks import DiffSingerMIDITask
+
+    hp = _tiny_hp()
+    task = DiffSingerMIDITask(hp, 32)
+    b = _batch(2, 16, 64, 32)
+    rng = jax.random.PRNGKey(0)
+    state = task.init_state(rng, b)
+
+    def diff_loss(mels):
+        ret = task.model.apply(
+            {"params": state.params},
+            txt_tokens=b["txt_tokens"], mel2ph=b["mel2ph"],
+            spk_embed=b["spk_ids"], ref_mels=mels,
+            pitch_midi=b["pitch_midi"], midi_dur=b["midi_dur"],
+            is_slur=b["is_slur"], lang=b["lang"],
+            speechsing=b["speechsing"],
+            infer=False, rng=rng, deterministic=True,
+        )
+        return float(ret["diff_loss"])
+
+    clean = diff_loss(b["mels"])
+    poisoned = b["mels"].copy()
+    poisoned[b["mel2ph"] == 0] = 1e3  # garbage ONLY in padded frames
+    assert diff_loss(poisoned) == clean
+    assert (b["mel2ph"] == 0).any()  # the batch actually has padding
