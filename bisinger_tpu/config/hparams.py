@@ -61,6 +61,11 @@ class HParams(Mapping):
 
     # -- attribute access ---------------------------------------------------
     def __getattr__(self, key: str) -> Any:
+        if key.startswith("_"):
+            # deepcopy/pickle probe attributes on a bare __new__ instance
+            # before the _data slot exists; recursing into self._data
+            # here would loop forever (RecursionError)
+            raise AttributeError(key)
         try:
             return self._data[key]
         except KeyError as e:
@@ -68,6 +73,11 @@ class HParams(Mapping):
 
     def __setattr__(self, key: str, value: Any):
         raise TypeError("HParams is immutable; use .replace(**updates)")
+
+    def __reduce__(self):
+        # __setattr__ blocks slot restoration, so pickle/deepcopy rebuild
+        # through the constructor
+        return (type(self), (dict(self._data),))
 
     # -- functional update --------------------------------------------------
     def replace(self, **updates) -> "HParams":

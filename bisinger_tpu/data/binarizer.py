@@ -309,6 +309,15 @@ class M4SingerBinarizer:
     def split_train_test(self) -> Tuple[List[str], List[str]]:
         prefixes = self.hp["test_prefixes"]
         test = [n for n in self.item_names if self._is_test_item(n, prefixes)]
+        if prefixes and not test and self.item_names:
+            # configured prefixes matching NOTHING is a config error
+            # (typo/renamed items) — silently holding out the tail would
+            # leak the intended test singers into training
+            raise ValueError(
+                f"test_prefixes {list(prefixes)!r} match no items "
+                f"(first items: {self.item_names[:3]}); fix the prefixes "
+                "or clear them to use the tail-holdout split"
+            )
         if not test and self.item_names:
             # no prefixes configured: hold out the tail by count, mirroring
             # the reference's test_num/valid_num split (base_binarizer.py

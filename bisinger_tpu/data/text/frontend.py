@@ -32,7 +32,12 @@ from bisinger_tpu.data.text.english import (
     map_syllables_to_phones,
     syllabify,
 )
-from bisinger_tpu.data.text.pinyin import is_valid_pinyin, pinyin_to_cmu
+from bisinger_tpu.data.text.pinyin import (
+    INITIALS,
+    is_valid_pinyin,
+    pinyin_to_cmu,
+    split_pinyin,
+)
 
 CHINESE = 1
 ENGLISH = 0
@@ -172,10 +177,17 @@ class BilingualFrontend:
                 phones = pinyin_to_cmu(word)
                 for ph in phones:
                     emit(ph, notes[0], durs[0], 0, CHINESE)
-                # extra notes: repeat the yunmu (all but the initial) with
-                # slur flags (reference `:292-316`)
+                # extra notes: repeat the YUNMU with slur flags
+                # (reference `:292-316`). The yunmu is phones minus the
+                # initial's phones — NOT phones[1:]: zero-initial
+                # syllables ('ai') have no initial at all, and 'c'/'q'…
+                # map to multiple phones, so a fixed 1-phone skip would
+                # drop melisma notes or leak initial phones into slurs.
+                ini, _fin = split_pinyin(word)
+                n_ini = len(INITIALS[ini]) if ini else 0
+                yunmu = phones[n_ini:] or phones[-1:]
                 for note, dur in zip(notes[1:], durs[1:]):
-                    for ph in phones[1:]:
+                    for ph in yunmu:
                         emit(ph, note, dur, 1, CHINESE)
             else:
                 phones = self.lexicon.lookup(word)
@@ -199,8 +211,15 @@ class BilingualFrontend:
                         for ph in phs:
                             emit(ph, notes[0], durs[0], 0, ENGLISH)
                 else:
-                    # general fallback: per-syllable, extra notes slur the
-                    # last syllable's vowel tail
+                    # general fallback: per-syllable, extra notes slur
+                    # the last syllable's vowel tail; when there are MORE
+                    # syllables than notes, the surplus syllables' phones
+                    # merge onto the last note instead of silently
+                    # disappearing from the zip
+                    if len(mapping) > len(notes):
+                        head = mapping[: len(notes) - 1]
+                        tail = [p for phs in mapping[len(notes) - 1 :] for p in phs]
+                        mapping = head + [tail]
                     for phs, note, dur in zip(mapping, notes, durs):
                         for ph in phs:
                             emit(ph, note, dur, 0, ENGLISH)
@@ -237,6 +256,12 @@ class BilingualFrontend:
             "is_slur": is_slur,
             "lang": lang,
             "speechsing": int(inp.get("speechsing", 1)),
+            # exact score duration: each note's dur counted ONCE
+            # (midi_dur_lst repeats it per phone in the word, so
+            # summing that overbooks the mel-frame budget 2-3x)
+            "total_sec": sum(
+                float(d) for w in dur_windows for d in w.split()
+            ),
         }
 
     # ---- phoneme level ----------------------------------------------------
@@ -248,6 +273,15 @@ class BilingualFrontend:
         lang = [int(float(x)) for x in inp["lang_seq"].split()]
         n = len(ph_seq.split())
         assert len(note_lst) == len(midi_dur_lst) == len(is_slur) == len(lang) == n
+        # per-phone rows repeat a note's dur for every phone of the word;
+        # count each note once: slur rows are always new notes, non-slur
+        # rows start a new note when (note, dur) changes
+        total = 0.0
+        prev = None
+        for note, dur, slur in zip(note_lst, midi_dur_lst, is_slur):
+            if slur or (note, dur) != prev:
+                total += float(dur)
+            prev = (note, dur)
         return {
             "ph_seq": ph_seq,
             "note_lst": note_lst,
@@ -255,6 +289,7 @@ class BilingualFrontend:
             "is_slur": is_slur,
             "lang": lang,
             "speechsing": int(inp.get("speechsing", 1)),
+            "total_sec": total,
         }
 
     # ---- to model inputs --------------------------------------------------
@@ -288,4 +323,5 @@ class BilingualFrontend:
             "lang": np.asarray(ret["lang"], dtype=np.int64),
             "speechsing": int(ret["speechsing"]),
             "spk_id": spk_id,
+            "total_sec": float(ret.get("total_sec") or sum(midi_dur)),
         }

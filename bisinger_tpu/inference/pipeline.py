@@ -26,7 +26,6 @@ from bisinger_tpu.config import HParams
 from bisinger_tpu.data.dataset import pick_bucket
 from bisinger_tpu.data.text.frontend import BilingualFrontend
 from bisinger_tpu.models.diffusion import GaussianDiffusion
-from bisinger_tpu.training.tasks import DiffSingerMIDITask
 from bisinger_tpu.training.trainer import device_batch
 from bisinger_tpu.utils.audio import save_wav
 from bisinger_tpu.utils.text_encoder import build_phone_encoder
@@ -53,7 +52,14 @@ class SVSInfer:
         self.frontend = BilingualFrontend(
             self.encoder, lexicon_path, phone_subst=hp.get("en_phone_subst")
         )
-        self.task = DiffSingerMIDITask(hp, self.encoder.vocab_size)
+        # honor the trained task class (hp['task_cls'] is persisted in the
+        # work-dir config): restoring e.g. an AuxDecoderMIDITask or
+        # offline-diffusion checkpoint into a hardcoded DiffSingerMIDITask
+        # template would fail with a param-tree mismatch
+        from bisinger_tpu.run import resolve_task_cls
+
+        task_cls = resolve_task_cls(hp.get("task_cls", ""))
+        self.task = task_cls(hp, self.encoder.vocab_size)
         self.params = diffusion_params
         # PE runs in eval mode and needs both params and the BatchNorm
         # running stats; accept either {'params':..., 'batch_stats':...}
@@ -122,14 +128,15 @@ class SVSInfer:
         return inst
 
     def _dummy_batch(self) -> Dict[str, Any]:
-        t_txt = self.hp["bucket_tokens"][0]
-        t_mel = self.hp["bucket_frames"][0]
+        hp = self.hp
+        t_txt = hp["bucket_tokens"][0]
+        t_mel = hp["bucket_frames"][0]
         z1 = np.zeros((1, t_txt), np.int64)
         out = {
             "txt_tokens": z1,
             "mel2ph": np.zeros((1, t_mel), np.int64),
             "spk_ids": np.zeros((1,), np.int64),
-            "mels": np.zeros((1, t_mel, 80), np.float32),
+            "mels": np.zeros((1, t_mel, hp["audio_num_mel_bins"]), np.float32),
             "f0": np.zeros((1, t_mel), np.float32),
             "uv": np.zeros((1, t_mel), np.float32),
             "pitch_midi": z1.copy(),
@@ -146,16 +153,29 @@ class SVSInfer:
     # ---- batching ---------------------------------------------------------
     def items_to_batch(self, items: List[Dict[str, Any]]) -> Dict[str, Any]:
         hp = self.hp
-        t_txt = pick_bucket(
-            max(len(it["ph_token"]) for it in items), hp["bucket_tokens"]
-        )
-        # mel frame budget: sum of midi durations -> frames, bucketed
+        max_tok = max(len(it["ph_token"]) for it in items)
+        t_txt = pick_bucket(max_tok, hp["bucket_tokens"])
+        # mel frame budget from the score's REAL duration (total_sec: each
+        # note counted once); the per-phone midi_dur sum repeats every
+        # note's dur per phone, overbooking the bucket 2-3x
         frames = [
-            int(float(np.sum(it["midi_dur"])) * hp["audio_sample_rate"] / hp["hop_size"])
+            int(
+                float(it.get("total_sec") or np.sum(it["midi_dur"]))
+                * hp["audio_sample_rate"] / hp["hop_size"]
+            )
             + 8
             for it in items
         ]
         t_mel = pick_bucket(max(frames), hp["bucket_frames"])
+        if max_tok > t_txt or max(frames) > t_mel:
+            print(
+                f"| WARNING: score exceeds the largest static bucket "
+                f"(tokens {max_tok}>{t_txt} or frames {max(frames)}>"
+                f"{t_mel}) and will be TRUNCATED — split the score (the "
+                "HTTP server's chunked synthesis does this) or raise "
+                "bucket_tokens/bucket_frames",
+                flush=True,
+            )
         b = len(items)
 
         def pad1(key, dtype):
@@ -173,7 +193,7 @@ class SVSInfer:
             "lang": pad1("lang", np.int64),
             "spk_ids": np.asarray([it["spk_id"] for it in items], np.int64),
             "speechsing": np.asarray([it["speechsing"] for it in items], np.int64),
-            "mels": np.zeros((b, t_mel, 80), np.float32),
+            "mels": np.zeros((b, t_mel, hp["audio_num_mel_bins"]), np.float32),
             "mel2ph": np.zeros((b, t_mel), np.int64),
             "f0": np.zeros((b, t_mel), np.float32),
             "uv": np.zeros((b, t_mel), np.float32),

@@ -51,6 +51,16 @@ class CheckpointManager:
             return None
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore without a template: the saved pytree as nested dicts
+        of arrays. For cross-model warm starts (e.g. loading the
+        FFT-Singer stage's params into diffusion's fs2 subtree) where no
+        matching TrainState template exists."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def close(self):
         self._mgr.close()
 

@@ -155,7 +155,10 @@ def add_dur_loss_midi(
         ) * hp["lambda_ph_dur"]
         dur_pred = jnp.maximum(jnp.exp(dur_pred_log) - 1.0, 0.0)
 
-    if hp["lambda_word_dur"] > 0:
+    # word_boundary is only binarized for MIDI items; speech corpora
+    # (TextGridBinarizer) have none — skip the word term rather than
+    # crash (pdur + sdur still apply)
+    if hp["lambda_word_dur"] > 0 and word_boundary is not None:
         wdb = word_boundary.astype(jnp.int32)
         idx = jnp.pad(jnp.cumsum(wdb, axis=1), ((0, 0), (1, 0)))[:, :-1]
         n_words = hp.get("max_words", 128)

@@ -128,7 +128,7 @@ class AuxDecoderMIDITask:
         losses: Dict[str, jnp.ndarray] = {}
         L.add_mel_loss(ret["mel_out"], batch["mels"], losses, hp)
         L.add_dur_loss_midi(
-            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch["word_boundary"],
+            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch.get("word_boundary"),
             losses, hp, crf_transitions=ret.get("crf_transitions"),
         )
         if hp["use_pitch_embed"]:
@@ -255,7 +255,7 @@ class DiffSingerMIDITask(AuxDecoderMIDITask):
         losses: Dict[str, jnp.ndarray] = {}
         losses["mel"] = ret["diff_loss"]
         L.add_dur_loss_midi(
-            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch["word_boundary"],
+            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch.get("word_boundary"),
             losses, hp, crf_transitions=ret.get("crf_transitions"),
         )
         if hp["use_pitch_embed"]:

@@ -169,6 +169,32 @@ class Trainer:
                 state = restored
                 self.global_step = int(state.step)
                 print(f"| resumed from step {self.global_step}", flush=True)
+            elif hp.get("fs2_ckpt") and hasattr(self.task, "warm_start_fs2"):
+                # fresh diffusion run: load the FFT-Singer stage-1
+                # checkpoint into model.fs2 (reference
+                # `usr/diffsinger_task.py:64-65`). Fail loudly — training
+                # shallow diffusion on a random fs2 is the exact silent
+                # failure this guards against.
+                from bisinger_tpu.training.checkpoints import (
+                    CheckpointManager as _CM,
+                )
+
+                fs2_dir = os.path.join(hp["fs2_ckpt"], "ckpt")
+                if not os.path.isdir(fs2_dir):
+                    raise FileNotFoundError(
+                        f"fs2_ckpt={hp['fs2_ckpt']!r}: no checkpoint dir "
+                        f"{fs2_dir!r} (train the FFT-Singer stage first, "
+                        "or unset fs2_ckpt to train from scratch)"
+                    )
+                raw = _CM(fs2_dir).restore_raw()
+                if raw is None:
+                    raise FileNotFoundError(
+                        f"fs2_ckpt dir {fs2_dir!r} contains no saved step"
+                    )
+                state = self.task.warm_start_fs2(state, raw["params"])
+                print(
+                    f"| warm-started fs2 from {hp['fs2_ckpt']}", flush=True
+                )
             # replicate model/opt state across the mesh
             state = jax.device_put(state, replicate_sharding(self.mesh))
 

@@ -173,3 +173,65 @@ class TestBilingualFrontend:
         }
         item = fe(inp)
         assert item["midi_dur"][0] == pytest.approx(0.5)
+
+
+class TestMelisma:
+    """CN slur tails repeat the YUNMU (not phones[1:]) and EN words with
+    more syllables than notes keep every phone."""
+
+    def _fe(self):
+        enc = TokenTextEncoder(
+            ["AY", "AE", "N", "T", "S", "B", "IY", "UW", "AH", "F", "L",
+             "JH", "AA", "NG", "Y", "<AP>", "<SP>"]
+        )
+        return BilingualFrontend(enc)
+
+    def test_zero_initial_melisma_keeps_note(self):
+        # 'ai' -> [AY]: phones[1:] would be empty and the melisma note
+        # would vanish; the yunmu is the whole phone list
+        r = self._fe().preprocess_word_level(
+            dict(text="ai", notes="C4 D4", notes_duration="0.3 0.3")
+        )
+        assert r["ph_seq"].split() == ["AY", "AY"]
+        assert r["is_slur"] == [0, 1]
+        assert r["note_lst"] == ["C4", "D4"]
+
+    def test_multi_phone_initial_not_leaked_into_slur(self):
+        # 'cai' -> [T, S, AY]: the slur tail must repeat only the yunmu
+        # AY, not the initial's S
+        r = self._fe().preprocess_word_level(
+            dict(text="cai", notes="C4 D4", notes_duration="0.3 0.3")
+        )
+        assert r["ph_seq"].split() == ["T", "S", "AY", "AY"]
+        assert r["is_slur"] == [0, 0, 0, 1]
+
+    def test_full_yunmu_repeats(self):
+        # 'zhang' -> [JH, AA, NG]: slur tail = AA NG (yunmu), initial JH
+        # excluded
+        r = self._fe().preprocess_word_level(
+            dict(text="zhang", notes="C4 D4", notes_duration="0.3 0.3")
+        )
+        phones = r["ph_seq"].split()
+        assert phones[:3] == ["JH", "AE", "NG"]
+        assert phones[3:] == ["AE", "NG"]
+        assert r["is_slur"] == [0, 0, 0, 1, 1]
+
+    def test_en_more_syllables_than_notes_keeps_phones(self):
+        # 'beautiful' (3 syllables) over 2 notes: every phone survives
+        # (surplus syllables merge onto the last note)
+        fe = self._fe()
+        lex_phones = fe.lexicon.lookup("beautiful")
+        r = fe.preprocess_word_level(
+            dict(text="beautiful", notes="C4 D4", notes_duration="0.3 0.3")
+        )
+        assert r["ph_seq"].split() == lex_phones
+        assert r["total_sec"] == pytest.approx(0.6)
+
+    def test_total_sec_counts_each_note_once(self):
+        r = self._fe().preprocess_word_level(
+            dict(text="zhang ai", notes="C4 D4 | E4",
+                 notes_duration="0.3 0.2 | 0.4")
+        )
+        assert r["total_sec"] == pytest.approx(0.9)
+        # while the per-phone list repeats durs per phone
+        assert sum(float(d) for d in r["midi_dur_lst"]) > 0.9

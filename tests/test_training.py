@@ -402,3 +402,52 @@ def test_energy_convention(tiny_env):
     np.testing.assert_allclose(
         s10["energy"], np.sqrt(((10.0 ** mel) ** 2).sum(-1)), rtol=1e-5
     )
+
+
+def test_fs2_warm_start_from_checkpoint(tiny_env, tmp_path, capsys):
+    """fs2_ckpt loads the FFT-Singer stage's weights into the diffusion
+    model's fs2 subtree on a fresh run (reference
+    `usr/diffsinger_task.py:64-65`); a bad path fails loudly instead of
+    silently training on a random fs2."""
+    from bisinger_tpu.training.tasks import DiffSingerMIDITask
+
+    fs2_dir = str(tmp_path / "fs2_work")
+    hp1 = tiny_env.replace(work_dir=fs2_dir)
+    enc = build_phone_encoder(hp1["binary_data_dir"])
+    fs2_state = Trainer(AuxDecoderMIDITask(hp1, enc.vocab_size), hp1).fit(
+        max_updates=3
+    )
+    fs2_leaf = np.asarray(
+        jax.device_get(fs2_state.params)["token_embed"]["embed"]["embedding"]
+    )
+
+    hp2 = tiny_env.replace(work_dir=str(tmp_path / "diff_work"), fs2_ckpt=fs2_dir)
+    task = DiffSingerMIDITask(hp2, enc.vocab_size)
+    trainer = Trainer(task, hp2)
+
+    # intercept the state right after warm start: run 0 updates by
+    # checking the printed line + comparing fs2 params after 1 step's
+    # init path. Simplest reliable probe: warm_start_fs2 on a fresh
+    # state must transplant the checkpointed leaves exactly.
+    from bisinger_tpu.training.checkpoints import CheckpointManager
+
+    raw = CheckpointManager(os.path.join(fs2_dir, "ckpt")).restore_raw()
+    batch = trainer._shard(  # same init path fit() uses
+        __import__("bisinger_tpu.training.trainer", fromlist=["device_batch"])
+        .device_batch(next(iter(trainer.build_dataloaders()[0])))
+    )
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    warmed = task.warm_start_fs2(state, raw["params"])
+    got = np.asarray(warmed.params["fs2"]["token_embed"]["embed"]["embedding"])
+    np.testing.assert_allclose(got, fs2_leaf)
+
+    # and fit() itself reports the warm start on a fresh run
+    trainer.fit(max_updates=1)
+    assert "warm-started fs2" in capsys.readouterr().out
+
+    # a configured-but-missing fs2_ckpt is a hard error
+    hp3 = tiny_env.replace(
+        work_dir=str(tmp_path / "diff_work2"), fs2_ckpt=str(tmp_path / "nope")
+    )
+    with pytest.raises(FileNotFoundError):
+        Trainer(DiffSingerMIDITask(hp3, enc.vocab_size), hp3).fit(max_updates=1)
