@@ -2,8 +2,10 @@
 
 Counterpart of the reference Gradio app
 (`inference/m4singer/gradio/infer.py:14-96`): accepts (lyrics, notes,
-note durations), splits long inputs into chunks at CJK/Latin sentence
-punctuation, synthesizes each chunk, and concatenates the audio.
+note durations), splits long scores into word-aligned chunks (lyrics +
+notes + durations together — text-only splitting would break the
+word/notes pairing), synthesizes each chunk, and concatenates the
+audio.
 
 Implemented on the stdlib http.server (gradio is not in this image; when
 it is installed, `launch_gradio` builds the same UI on it). The JSON API
@@ -21,40 +23,13 @@ server only does text chunking + wav encoding on the host.
 
 from __future__ import annotations
 
-import io
 import json
-import re
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 
 import numpy as np
-
-# sentence splitting at CJK + Latin punctuation (reference
-# `gradio/infer.py:20-34` splits on CJK punctuation at >=400 chars)
-_SPLIT_RE = re.compile(r"[。！？；.!?;]")
-MAX_CHUNK_CHARS = 400
-
-
-def split_text_chunks(text: str, max_chars: int = MAX_CHUNK_CHARS) -> List[str]:
-    """Split lyrics into synthesizable chunks at sentence punctuation once
-    they exceed `max_chars` (reference behavior for long inputs)."""
-    if len(text) <= max_chars:
-        return [text]
-    parts = [p for p in _SPLIT_RE.split(text) if p.strip()]
-    chunks: List[str] = []
-    cur = ""
-    for p in parts:
-        if cur and len(cur) + len(p) > max_chars:
-            chunks.append(cur)
-            cur = p
-        else:
-            cur = f"{cur} {p}".strip()
-    if cur:
-        chunks.append(cur)
-    return chunks or [text]
-
 
 def split_score_chunks(
     inp: Dict[str, Any], max_words: int = 64
@@ -155,7 +130,10 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             inp = json.loads(self.rfile.read(n) or b"{}")
-            wav = synthesize_chunked(self.infer, inp)
+            # ThreadingHTTPServer handles requests concurrently, but
+            # only one TPU program may run at a time — serialize
+            with self.lock:
+                wav = synthesize_chunked(self.infer, inp)
             if wav.ndim != 1:
                 # pipeline returned a mel (no vocoder loaded) — don't
                 # serialize a spectrogram as PCM

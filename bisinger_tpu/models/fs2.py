@@ -190,7 +190,7 @@ class FastSpeech2(nn.Module):
         if mel2ph is None:
             dur_log = self.dur_predictor(dur_inp, src_padding)
             ret["dur"] = dur_log
-            dur = self.dur_predictor.out2dur(dur_log)
+            dur = self.dur_predictor.out2dur(dur_log, padding=src_padding)
             ret["dur_choice"] = dur
             mel2ph = jax.lax.stop_gradient(
                 length_regulator(dur, src_padding, max_frames=max_frames)

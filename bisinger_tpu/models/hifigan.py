@@ -259,7 +259,12 @@ class HifiGanGenerator(nn.Module):
         c0 = hp["upsample_initial_channel"]
         resblock = ResBlock1 if str(hp.get("resblock", "1")) == "1" else ResBlock2
         dtype = jnp.bfloat16 if hp.get("compute_dtype") == "bfloat16" else jnp.float32
-        use_nsf = f0 is not None and hp.get("use_pitch_embed", True)
+        # NSF is active whenever an f0 track is provided — the wrapper
+        # (vocoders/hifigan.py) gates passing f0 on `use_nsf`. Gating on
+        # `use_pitch_embed` here (an ACOUSTIC-model flag) silently ran
+        # the NSF-trained weights as a plain mel vocoder whenever the
+        # acoustic config disabled its pitch embedding.
+        use_nsf = f0 is not None
 
         if use_nsf:
             if rng is None:

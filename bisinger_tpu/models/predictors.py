@@ -83,11 +83,12 @@ class DurationPredictor(nn.Module):
             x = x[:, :, 0]  # [B, T] log-domain
         return x
 
-    def out2dur(self, xs):
+    def out2dur(self, xs, padding=None):
         """Head output -> linear integer durations (reference
         `tts_modules.py:124-133`; the reference leaves MoG decode
         NotImplemented — here it decodes via the mixture expectation,
-        and CRF via Viterbi with learned transitions)."""
+        and CRF via Viterbi with learned transitions). `padding` [B, T]
+        (1 = pad) keeps the CRF decode independent of batch padding."""
         if self.odims == 1:
             return jnp.maximum(
                 jnp.round(jnp.exp(xs) - self.offset), 0.0
@@ -98,22 +99,40 @@ class DurationPredictor(nn.Module):
                 jnp.round(jnp.exp(exp_log) - self.offset), 0.0
             ).astype(jnp.int32)
         # CRF: states ARE frame counts; Viterbi over learned transitions
-        return crf_viterbi(xs, self.crf_transitions)
+        mask = None if padding is None else 1.0 - padding.astype(jnp.float32)
+        return crf_viterbi(xs, self.crf_transitions, mask=mask)
 
 
-def crf_viterbi(emissions, transitions):
+def crf_viterbi(emissions, transitions, mask=None):
     """Max-score state path of a linear-chain CRF (reference decodes via
-    torchcrf, `tts_modules.py:132`). emissions [B, T, S] -> [B, T]."""
+    torchcrf, `tts_modules.py:132`). emissions [B, T, S] -> [B, T].
 
-    def step(alpha, em_t):
+    With `mask` [B, T] (1 = valid, trailing padding), the recursion
+    freezes past each row's last valid step and backpointers become the
+    identity there, so the decoded path — and therefore the durations —
+    do not depend on how much padding the batch bucket added."""
+    S = emissions.shape[-1]
+
+    def step(alpha, inp):
+        em_t, m_t = inp
         # alpha [B, S]: best score ending in state s
         scores = alpha[:, :, None] + transitions[None]  # [B, S_prev, S]
         best_prev = jnp.argmax(scores, axis=1)  # [B, S]
-        alpha = jnp.max(scores, axis=1) + em_t
+        new_alpha = jnp.max(scores, axis=1) + em_t
+        keep = m_t[:, None] > 0
+        alpha = jnp.where(keep, new_alpha, alpha)
+        ident = jnp.broadcast_to(
+            jnp.arange(S, dtype=best_prev.dtype)[None], best_prev.shape
+        )
+        best_prev = jnp.where(keep, best_prev, ident)
         return alpha, best_prev
 
     em = jnp.swapaxes(emissions, 0, 1)  # [T, B, S]
-    alpha, backptrs = jax.lax.scan(step, em[0], em[1:])
+    if mask is None:
+        m = jnp.ones(em.shape[:2], jnp.float32)
+    else:
+        m = jnp.swapaxes(mask.astype(jnp.float32), 0, 1)  # [T, B]
+    alpha, backptrs = jax.lax.scan(step, em[0], (em[1:], m[1:]))
     last = jnp.argmax(alpha, axis=-1)  # [B]
 
     def backtrack(state, bp_t):

@@ -32,14 +32,9 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from bisinger_tpu.data.textgrid import parse_textgrid
+from bisinger_tpu.utils.pitch import freq_to_midi
 
 _SIL_WORDS = {"", "sil", "sp", "spn", "<SP>", "<AP>", "silv"}
-
-
-def freq_to_midi(frequency: float) -> int:
-    if frequency <= 0:
-        return 0
-    return int(round(69 + 12 * math.log2(frequency / 440.0)))
 
 
 def _find_tier(tiers: List[Dict], names: Tuple[str, ...]) -> Optional[Dict]:

@@ -25,6 +25,7 @@ import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+from bisinger_tpu.utils.pitch import freq_to_midi
 
 # C0..B0 base frequencies (reference note_to_freq tables)
 _BASE_FREQ = {"C": 16.35, "D": 18.35, "E": 20.60, "F": 21.83, "G": 24.50, "A": 27.50, "B": 30.87}
@@ -38,10 +39,6 @@ def note_to_freq(note: str) -> float:
 def num_to_freq(num: int, octave: int = 4) -> float:
     """Jianpu degree 1..7 (CDEFGAB) -> freq (reference `num_to_freq`)."""
     return note_to_freq("CDEFGAB"[num - 1] + str(octave))
-
-
-def freq_to_midi(frequency: float) -> int:
-    return round(69 + 12 * math.log2(frequency / 440.0))
 
 
 def _prog(degrees: str) -> List[float]:

@@ -211,6 +211,16 @@ def convert_item_proportional(
         mfa_ph_idx = mfa_word_ph[mfa_idx]
         word_cmu = [mfa_phs[i] for i in mfa_ph_idx]
         word_cmu_durs = [mfa_ph_durs[i] for i in mfa_ph_idx]
+        if len(ph_idx) > 2:
+            # a pinyin word is at most initial+final groups; 3+ groups
+            # would silently drop the leading groups' notes/durations —
+            # raise like the sibling checks so the item routes to the
+            # skip-and-report path
+            raise ValueError(
+                f"{item['item_name']}: word {m4_marks[w_idx]!r} has "
+                f"{len(ph_idx)} phone groups (expected <= 2: "
+                f"{[m4_phs[g] for g in ph_idx]})"
+            )
         has_initial = len(ph_idx) == 2
         if has_initial:
             ini_g = ph_idx[0]

@@ -61,10 +61,15 @@ def mexican_hat_cwt(x: np.ndarray, dt: float = CWT_DT, dj: float = CWT_DJ, s0: f
     eqs. 4-6)."""
     m = 2
     n = len(x)
+    # zero-pad to the next power of two like pycwt: without it the FFT
+    # convolution is CIRCULAR over the raw length, and at the largest
+    # scale (seconds of wavelet support) the CWT near the utterance
+    # start wraps in log-f0 from the end
+    nfft = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
     scales = cwt_scales(dt, dj, s0, j)
     # angular frequencies for the fft grid
-    omega = 2.0 * np.pi * np.fft.fftfreq(n, d=dt)
-    x_hat = np.fft.fft(x)
+    omega = 2.0 * np.pi * np.fft.fftfreq(nfft, d=dt)
+    x_hat = np.fft.fft(x, n=nfft)
     # DOG m=2 fourier-domain mother: -(i)^m / sqrt(gamma(m+1/2)) (s w)^m e^{-(s w)^2/2}
     norm_const = -((1j) ** m) / math.sqrt(math.gamma(m + 0.5))
     out = np.empty((j + 1, n), dtype=np.complex128)
@@ -72,7 +77,7 @@ def mexican_hat_cwt(x: np.ndarray, dt: float = CWT_DT, dj: float = CWT_DJ, s0: f
         psi_hat = norm_const * (s * omega) ** m * np.exp(-((s * omega) ** 2) / 2.0)
         # T&C normalization: sqrt(2 pi s / dt)
         psi_hat = psi_hat * np.sqrt(2.0 * np.pi * s / dt)
-        out[i] = np.fft.ifft(x_hat * np.conj(psi_hat))
+        out[i] = np.fft.ifft(x_hat * np.conj(psi_hat))[:n]
     return np.real(out).T.astype(np.float32), scales.astype(np.float32)
 
 

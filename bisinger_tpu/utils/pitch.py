@@ -98,3 +98,14 @@ def norm_interp_f0_np(f0: np.ndarray, pitch_norm: str = "log", f0_mean: float = 
     elif uv.sum() > 0:
         f0_norm[uv] = np.interp(np.where(uv)[0], np.where(~uv)[0], f0_norm[~uv])
     return f0_norm.astype(np.float32), uv.astype(np.float32)
+
+
+def freq_to_midi(frequency: float) -> int:
+    """Hz -> nearest MIDI note number (0 for unvoiced/invalid). Single
+    shared helper — tools/db4_meta.py and tools/pitch_shift.py carried
+    drifting copies (int(round()) vs round())."""
+    import math
+
+    if frequency <= 0:
+        return 0
+    return int(round(69 + 12 * math.log2(frequency / 440.0)))

@@ -100,23 +100,7 @@ class HifiGAN(BaseVocoder):
             out = denoise(out, v=float(self.hp.get("denoise_v", 0.002)), hp=self.hp)
         return out
 
-    # ---- feature extraction ----------------------------------------------
-    @staticmethod
-    def wav2spec(wav_fn, hp: HParams):
-        from bisinger_tpu.data.binarizer import load_wav
-
-        wav = load_wav(wav_fn, hp["audio_sample_rate"]) if isinstance(wav_fn, str) else wav_fn
-        return audio_utils.wav2spec(
-            wav,
-            sample_rate=hp["audio_sample_rate"],
-            fft_size=hp["fft_size"],
-            hop_size=hp["hop_size"],
-            win_size=hp["win_size"],
-            num_mels=hp["audio_num_mel_bins"],
-            fmin=hp["fmin"],
-            fmax=hp["fmax"],
-            eps=float(hp.get("wav2spec_eps", 1e-6)),
-        )
+    # wav2spec inherited from BaseVocoder
 
 
 def flatten_params(tree, prefix=""):

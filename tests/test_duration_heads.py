@@ -108,3 +108,20 @@ def test_mog_and_crf_train_end_to_end():
         # inference decode works too
         ret = task.infer_step(state.params, batch, jax.random.PRNGKey(2))
         assert np.isfinite(np.asarray(ret["mel_out"])).all(), dur_loss
+
+
+def test_crf_viterbi_padding_invariant():
+    """Decoded path over the valid region must not depend on trailing
+    padding length (the recursion freezes at the mask boundary)."""
+    rng = np.random.default_rng(3)
+    em = jnp.asarray(rng.normal(size=(2, 6, 5)).astype(np.float32))
+    tr = jnp.asarray(rng.normal(size=(5, 5)).astype(np.float32))
+    mask6 = jnp.ones((2, 6))
+    base = crf_viterbi(em, tr, mask=mask6)
+    # pad to T=10 with junk emissions; mask marks them invalid
+    em_pad = jnp.concatenate(
+        [em, jnp.asarray(rng.normal(size=(2, 4, 5)).astype(np.float32))], axis=1
+    )
+    mask10 = jnp.concatenate([mask6, jnp.zeros((2, 4))], axis=1)
+    padded = crf_viterbi(em_pad, tr, mask=mask10)
+    np.testing.assert_array_equal(np.asarray(padded)[:, :6], np.asarray(base))

@@ -8,7 +8,6 @@ import numpy as np
 from bisinger_tpu.inference.server import (
     serve,
     split_score_chunks,
-    split_text_chunks,
     synthesize_chunked,
     wav_bytes,
 )
@@ -21,16 +20,9 @@ class FakeInfer:
         return np.zeros(1000, np.float32)  # fixed length per chunk
 
 
-def test_split_short_passthrough():
-    assert split_text_chunks("hello world") == ["hello world"]
-
-
-def test_split_long():
-    text = "。".join(["字" * 120] * 5)
-    chunks = split_text_chunks(text, max_chars=300)
-    assert len(chunks) >= 2
-    assert all(len(c) <= 300 for c in chunks)
-    assert sum(len(c.replace(" ", "")) for c in chunks) == 5 * 120
+def test_split_score_short_passthrough():
+    inp = dict(text="a b", notes="C4 | D4", notes_duration="0.3 | 0.3")
+    assert split_score_chunks(inp, max_words=4) == [inp]
 
 
 def test_wav_bytes_header():
