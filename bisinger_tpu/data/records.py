@@ -58,6 +58,14 @@ def _encode_field(key: str, value: Any) -> bytes:
 
 
 def encode_record(item: Dict[str, Any]) -> bytes:
+    if len(item) > 64:
+        # hard format limit shared with the native reader
+        # (record_codec max_fields=64): enforce at WRITE time, or the
+        # native backend would open the shard fine and then raise on
+        # every __getitem__ while the Python decoder read it happily
+        raise ValueError(
+            f"record has {len(item)} fields; the shard format caps at 64"
+        )
     body = b"".join(_encode_field(k, v) for k, v in item.items())
     return _MAGIC + struct.pack("<I", len(item)) + body
 
@@ -150,7 +158,12 @@ class RecordReader:
     def __init__(self, prefix: str, backend: str = "auto"):
         self.prefix = prefix
         self._offsets = np.load(prefix + ".idx")
-        self._data = np.memmap(prefix + ".data", dtype=np.uint8, mode="r")
+        if os.path.getsize(prefix + ".data") == 0:
+            # valid empty shard (e.g. a split with no items):
+            # np.memmap refuses zero-length files
+            self._data = np.zeros(0, np.uint8)
+        else:
+            self._data = np.memmap(prefix + ".data", dtype=np.uint8, mode="r")
         self._view = memoryview(self._data)
         self._native = None
         if backend in ("auto", "native"):

@@ -93,13 +93,16 @@ class MelGanDiscriminator(nn.Module):
         feats.append(x)
         ch = 16
         for i in range(4):
+            in_ch = ch
             ch = min(ch * 4, 1024)
             x = nn.Conv(
                 ch,
                 (41,),
                 strides=(4,),
                 padding="SAME",
-                feature_group_count=max(1, ch // 256),
+                # reference: groups = in_channels // 4
+                # (`models/melgan.py:256`)
+                feature_group_count=max(1, in_ch // 4),
                 name=f"conv{i + 1}",
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)

@@ -45,18 +45,30 @@ class UpsampleNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, c):
+        import jax
+
         for i, scale in enumerate(self.upsample_scales):
             c = Stretch2d(t_scale=scale)(c)
-            # time kernel 2*scale+1, freq kernel 1, no bias (reference conv2d)
+            # reference: ONE Conv2d(1, 1, (1, 2*scale+1), bias=False)
+            # time-smoothing kernel SHARED across all mel bins,
+            # initialized to the moving average 1/k
+            # (`layers/upsample.py:47-99`) — a per-bin depthwise conv
+            # would be a different (80x larger) function class
             k = 2 * scale + 1
-            c = nn.Conv(
-                features=c.shape[-1],
-                kernel_size=(k,),
+            w = self.param(
+                f"conv_{i}_kernel",
+                lambda rng, shape: jnp.full(shape, 1.0 / k, jnp.float32),
+                (k, 1, 1),
+            )
+            n_ch = c.shape[-1]
+            c = jax.lax.conv_general_dilated(
+                c,
+                jnp.tile(w, (1, 1, n_ch)),
+                window_strides=(1,),
                 padding="SAME",
-                use_bias=False,
-                feature_group_count=c.shape[-1],
-                name=f"conv_{i}",
-            )(c)
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=n_ch,
+            )
         return c
 
 

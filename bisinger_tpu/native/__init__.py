@@ -30,7 +30,12 @@ _MAX_FIELDS = 64
 
 class _RCField(ctypes.Structure):
     _fields_ = [
-        ("key", ctypes.c_char_p),
+        # c_void_p, NOT c_char_p: char_p auto-converts to bytes by
+        # scanning for a NUL terminator — mmap'd keys are not
+        # NUL-terminated, so the scan runs past the key (and, at a page
+        # boundary, past the mapping). string_at(key, key_len) below
+        # reads exactly key_len bytes.
+        ("key", ctypes.c_void_p),
         ("key_len", ctypes.c_uint32),
         ("type", ctypes.c_uint8),
         ("dtype", ctypes.c_void_p),

@@ -141,7 +141,8 @@ int rc_parse(void* h, int64_t idx, RCField* out, int max_fields) {
   if (idx < 0 || idx >= s->n) return -1;
   uint64_t off = s->offsets[idx];
   uint64_t end = s->offsets[idx + 1];
-  if (end > s->data_len || off + 8 > end) return -1;
+  // untrusted idx: also reject off > end and wraparound in off + 8
+  if (end > s->data_len || off > end || end - off < 8) return -1;
   const uint8_t* p = s->data + off;
   const uint8_t* pe = s->data + end;
   if (memcmp(p, "BTR1", 4) != 0) return -1;
@@ -180,7 +181,9 @@ int rc_parse(void* h, int64_t idx, RCField* out, int max_fields) {
         uint64_t nbytes;
         memcpy(&nbytes, p, 8);
         p += 8;
-        if (p + nbytes > pe) return -1;
+        // compare against the REMAINING length: `p + nbytes > pe` with an
+        // untrusted uint64 can wrap the pointer and defeat the check
+        if (nbytes > (uint64_t)(pe - p)) return -1;
         f->data = p;
         f->data_len = nbytes;
         p += nbytes;
@@ -192,7 +195,7 @@ int rc_parse(void* h, int64_t idx, RCField* out, int max_fields) {
         uint64_t n;
         memcpy(&n, p, 8);
         p += 8;
-        if (p + n > pe) return -1;
+        if (n > (uint64_t)(pe - p)) return -1;
         f->data = p;
         f->data_len = n;
         p += n;

@@ -250,6 +250,10 @@ def add_pitch_loss(output: Dict, sample: Dict, losses: Dict, hp: HParams):
             losses["C"] = jnp.abs(cwt_pred - cwt_gt).mean() * hp["lambda_f0"]
         elif hp["cwt_loss"] == "l2":
             losses["C"] = jnp.mean((cwt_pred - cwt_gt) ** 2) * hp["lambda_f0"]
+        else:
+            # fail loudly: silently skipping 'C' would train the CWT
+            # pitch decoder with no supervision at all
+            raise NotImplementedError(f"cwt_loss: {hp['cwt_loss']}")
         if hp["use_uv"]:
             uv_pred = output["cwt"][:, :, -1]
             uv_loss = binary_cross_entropy_with_logits(uv_pred, sample["uv"])

@@ -39,18 +39,19 @@ def rsqrt_schedule(hp: HParams) -> Callable:
 
 def step_decay_schedule(hp: HParams) -> Callable:
     lr = hp["lr"]
-    if lr > 0.05:
-        # the global default lr=2.0 is the rsqrt-schedule SCALE factor
-        # (reference `configs/tts/base.yaml:70`, multiplied by
+    if lr == 2.0:
+        # EXACTLY the global default: lr=2.0 is the rsqrt-schedule SCALE
+        # factor (reference `configs/tts/base.yaml:70`, multiplied by
         # warmup^-0.5 * hidden^-0.5); fed raw into AdamW it diverges in
         # 2 steps. The reference's diffusion recipes override lr: 0.001
-        # (`usr/configs/base.yaml:7`) — substitute that here so a config
-        # that never set lr for the step schedule trains instead of
-        # NaN-ing.
+        # (`usr/configs/base.yaml:7`) — substitute that only for the
+        # untouched default so the substitution can't clobber a
+        # deliberately configured lr (any other value, however large,
+        # is taken at face value).
         print(
-            f"| WARNING: lr={lr} with the step-decay schedule would "
-            "diverge; using the reference diffusion default 0.001 "
-            "(set lr explicitly to override)",
+            "| WARNING: lr=2.0 (the rsqrt-scale default) with the "
+            "step-decay schedule would diverge; using the reference "
+            "diffusion default 0.001 (any explicitly set lr is honored)",
             flush=True,
         )
         lr = 0.001
@@ -124,10 +125,14 @@ def build_optimizer(
         ),
     )
     if trainable_mask is not None:
-        tx = optax.chain(
-            optax.masked(optax.set_to_zero(), jax.tree.map(lambda m: not m, trainable_mask)),
-            tx,
+        # zero the UPDATES of frozen leaves AFTER adamw: zeroing only the
+        # incoming grads would still let adamw's add_decayed_weights
+        # shrink frozen params by lr*weight_decay each step (torch skips
+        # requires_grad=False params entirely)
+        freeze = optax.masked(
+            optax.set_to_zero(), jax.tree.map(lambda m: not m, trainable_mask)
         )
+        tx = optax.chain(freeze, tx, freeze)
     accum = hp.get("accumulate_grad_batches", 1)
     if isinstance(accum, MappingABC):
         # per-epoch schedule (reference dict form,

@@ -230,7 +230,14 @@ def trim_long_silences(
         return wav, np.ones(len(wav), bool)
     frames = wav[: n_win * spw].reshape(n_win, spw)
     rms = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
-    thresh = max(1e-4, 0.1 * np.median(rms[rms > np.percentile(rms, 20)]))
+    above = rms[rms > np.percentile(rms, 20)]
+    if above.size == 0:
+        # near-constant energy (e.g. digital silence): every window ties
+        # the percentile; median of the empty slice would be nan and the
+        # mask would go all-False, returning an EMPTY waveform — keep
+        # the input unchanged instead
+        return wav, np.ones(len(wav), bool)
+    thresh = max(1e-4, 0.1 * float(np.median(above)))
     flags = (rms > thresh).astype(float)
 
     width = moving_average_width
