@@ -70,3 +70,43 @@ def test_corrupt_record_raises(tmp_path):
     r = native.open_shard(prefix)
     with pytest.raises(IOError):
         r[0]
+
+
+def test_empty_shard_opens(tmp_path):
+    """A split with zero items is a valid shard: the reader must open it
+    (np.memmap refuses empty files) and report len 0."""
+    prefix = str(tmp_path / "empty")
+    with RecordWriter(prefix):
+        pass
+    r = RecordReader(prefix)
+    assert len(r) == 0
+
+
+def test_field_cap_enforced_at_write(tmp_path):
+    """The 64-field format cap the native reader assumes is enforced at
+    write time, not discovered as an IOError at read time."""
+    from bisinger_tpu.data.records import encode_record
+
+    with pytest.raises(ValueError, match="64"):
+        encode_record({f"k{i}": i for i in range(65)})
+
+
+def test_oversized_length_rejected(tmp_path):
+    """Corrupt records with near-2^64 array lengths must be rejected by
+    the bounds check, not wrap the pointer into an out-of-bounds read."""
+    import struct
+
+    from bisinger_tpu.data.records import encode_record
+
+    prefix = str(tmp_path / "bad")
+    with RecordWriter(prefix) as w:
+        w.add_item({"x": np.zeros(4, np.float32)})
+    data = bytearray(open(prefix + ".data", "rb").read())
+    # find the 8-byte little-endian nbytes field (value 16) and poison it
+    pos = data.find(struct.pack("<Q", 16))
+    assert pos > 0
+    data[pos : pos + 8] = struct.pack("<Q", 2**64 - 8)
+    open(prefix + ".data", "wb").write(bytes(data))
+    r = RecordReader(prefix, backend="native")
+    with pytest.raises((IOError, AssertionError, ValueError)):
+        _ = r[0]

@@ -20,7 +20,7 @@ from bisinger_tpu.training.tasks import (
     DiffSingerMIDITask,
     PitchExtractionTask,
 )
-from bisinger_tpu.training.trainer import Trainer
+from bisinger_tpu.training.trainer import Trainer, device_batch
 from bisinger_tpu.utils.text_encoder import build_phone_encoder
 
 import jax.numpy as jnp
@@ -451,3 +451,26 @@ def test_fs2_warm_start_from_checkpoint(tiny_env, tmp_path, capsys):
     )
     with pytest.raises(FileNotFoundError):
         Trainer(DiffSingerMIDITask(hp3, enc.vocab_size), hp3).fit(max_updates=1)
+
+
+def test_freeze_mask_blocks_weight_decay(tiny_env):
+    """Frozen fs2 params must not move even with weight_decay > 0:
+    adamw's add_decayed_weights runs on every leaf, so the freeze mask
+    has to zero updates after the optimizer too."""
+    from bisinger_tpu.training.tasks import DiffSpeechTask
+
+    hp = tiny_env.replace(weight_decay=0.01)
+    enc = build_phone_encoder(hp["binary_data_dir"])
+    task = DiffSpeechTask(hp, enc.vocab_size)
+    ds = M4SingerDataset(hp, "train", shuffle=False)
+    batch = device_batch(next(iter(DataLoader(ds, hp, shuffle=False))))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    before = np.asarray(
+        jax.device_get(state.params)["fs2"]["token_embed"]["embed"]["embedding"]
+    )
+    for i in range(2):
+        state, _ = task.train_step(state, dict(batch), jax.random.PRNGKey(i))
+    after = np.asarray(
+        jax.device_get(state.params)["fs2"]["token_embed"]["embed"]["embedding"]
+    )
+    np.testing.assert_array_equal(before, after)
