@@ -1,10 +1,12 @@
 """Built-in default hyperparameters.
 
-Flattened union of the reference YAML cascade
-(`configs/config_base.yaml` → `configs/tts/base.yaml` → `configs/tts/fs2.yaml`
-→ `configs/singing/base.yaml` in /root/reference/train_bisinger), so a config
-file only needs to state what it changes. Keys keep the reference names since
-they are the public API users carry over.
+Base values from the reference's `configs/config_base.yaml` (plus a few
+keys only defined deeper in its cascade or in the BiSinger experiment
+configs, noted inline where the chosen level matters). The YAML tree in
+this repo's `configs/` replicates the cascade itself
+(config_base -> tts/base -> tts/fs2 -> singing/base -> usr/...), so a
+config file only needs to state what it changes. Keys keep the
+reference names since they are the public API users carry over.
 
 TPU-specific additions are grouped at the bottom.
 """
@@ -161,6 +163,9 @@ DEFAULT_HPARAMS = {
     "val_check_interval": 2000,
     "max_epochs": 1000,
     "max_updates": 160000,
+    # reference configs/config_base.yaml:38 (the YAML cascade in
+    # configs/ then overrides per level: tts/base 30000, tts/fs2 32000,
+    # singing/base 20000, experiment configs 36000-40000)
     "max_tokens": 31250,
     "max_sentences": 100000,
     "max_eval_tokens": -1,

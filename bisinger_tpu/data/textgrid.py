@@ -105,6 +105,14 @@ def textgrid_to_mel2ph(
         if x["text"] != "" and is_sil_phoneme(p):
             ph_idx += 1
         else:
+            # stale/mispaired TextGrids must fail, not align positionally
+            # (reference asserts interval text == phone,
+            # `data_gen_utils.py` get_mel2ph else-branch)
+            if x["text"] != "" and x["text"].lower() != p.lower():
+                raise ValueError(
+                    f"TextGrid/phone mismatch at interval {tg_idx}: "
+                    f"{x['text']!r} vs phone {p!r}"
+                )
             split[ph_idx] = x["xmin"]
             if ph_idx > 0 and split[ph_idx - 1] == -1 and is_sil_phoneme(ph_list[ph_idx - 1]):
                 split[ph_idx - 1] = split[ph_idx]

@@ -17,6 +17,12 @@ import importlib
 import os
 import sys
 
+# pin BLAS/OpenMP to one thread BEFORE numpy's first import (reference
+# `base_binarizer.py:3`): forked binarizer workers inherit the parent's
+# already-initialized pools, so setting this later has no effect —
+# without it, N workers x default threads oversubscribes the host
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 
 TASK_ALIASES = {
     # reference task_cls names -> this framework's tasks

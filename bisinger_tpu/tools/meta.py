@@ -50,6 +50,17 @@ def _expand_phone(ph: str, py2cmu: Optional[Dict[str, List[str]]]) -> List[str]:
         return [ph]
     if py2cmu is not None:
         return list(py2cmu.get(ph.lower(), [ph]))
+    # M4Singer phs are SEPARATE shengmu/yunmu entries ('zh', 'ang', 'c',
+    # 'ai'), not whole syllables — map standalone initials and finals
+    # directly (pinyin_to_cmu handles only full syllables and would pass
+    # 'zh'/'c' through unconverted)
+    from bisinger_tpu.data.text.pinyin import FINALS, INITIALS
+
+    low = ph.lower()
+    if low in INITIALS:
+        return list(INITIALS[low])
+    if low in FINALS:
+        return list(FINALS[low])
     try:
         return pinyin_to_cmu(ph)
     except Exception:
@@ -145,28 +156,82 @@ def load_py2cmu_map(path: str) -> Dict[str, List[str]]:
     return out
 
 
+_TG_SIL = {"", "sil", "sp", "spn", "<sp>", "<ap>", "pau"}
+
+
+def _tg_is_sil(text: str) -> bool:
+    return text.strip().lower() in _TG_SIL
+
+
 def adjust_item_durations(item: Dict, tg_text: str) -> Dict:
     """Reconcile an item's ph_dur with its MFA TextGrid (reference
-    `utils/adjust_m4_ori_meta.py`): replace each phone's duration with
-    the aligned interval from the TextGrid's phone tier; silence
-    intervals map onto the item's <SP>/<AP> phones. Phone counts must
-    match after that pairing or the item is returned unchanged with a
-    warning."""
-    from bisinger_tpu.data.textgrid import parse_textgrid
+    `utils/adjust_m4_ori_meta.py`): each phone's duration becomes its
+    aligned interval, pairing silences EXPLICITLY — a TextGrid silence
+    interval maps onto the item's next <SP>/<AP> phone when one is
+    there, is INSERTED as a new <SP> (notes 'rest') when the item lacks
+    it (the reference's full_json_item_according_sil), and an item
+    silence with no interval is dropped (MFA merged it). Irreconcilable
+    speech-phone mismatches return the item unchanged with a warning."""
+    from bisinger_tpu.data.textgrid import is_sil_phoneme, parse_textgrid
 
     tiers = parse_textgrid(tg_text)
     intervals = [
         x for x in tiers[-1]["items"] if round(x["xmax"] - x["xmin"], 6) > 0
     ]
     phs = item["phs"]
-    if len(intervals) != len(phs):
+    n = len(phs)
+    # original M4 meta always carries these; tolerate reduced test metas
+    notes = item.get("notes", ["rest"] * n)
+    ndur = item.get("notes_dur", list(item["ph_dur"]))
+    slur = item.get("is_slur", [0] * n)
+    out_phs, out_dur, out_notes, out_ndur, out_slur = [], [], [], [], []
+    pi = 0
+    ok = True
+    for x in intervals:
+        dur = round(x["xmax"] - x["xmin"], 4)
+        if _tg_is_sil(x["text"]):
+            if pi < n and is_sil_phoneme(phs[pi]):
+                out_phs.append(phs[pi])
+                out_notes.append(notes[pi])
+                out_ndur.append(dur)
+                out_slur.append(slur[pi])
+                pi += 1
+            else:
+                out_phs.append("<SP>")
+                out_notes.append("rest")
+                out_ndur.append(dur)
+                out_slur.append(0)
+            out_dur.append(dur)
+        else:
+            while pi < n and is_sil_phoneme(phs[pi]):
+                pi += 1  # item silence MFA merged away
+            if pi >= n:
+                ok = False
+                break
+            out_phs.append(phs[pi])
+            out_notes.append(notes[pi])
+            out_ndur.append(ndur[pi])
+            out_slur.append(slur[pi])
+            out_dur.append(dur)
+            pi += 1
+    while ok and pi < n and is_sil_phoneme(phs[pi]):
+        pi += 1
+    if not ok or pi != n:
         print(
-            f"| adjust: {item.get('item_name')} has {len(phs)} phones vs "
-            f"{len(intervals)} intervals; left unchanged"
+            f"| adjust: {item.get('item_name')}: speech phones do not "
+            f"reconcile with the TextGrid ({n} phones vs "
+            f"{len(intervals)} intervals); left unchanged"
         )
         return item
     out = dict(item)
-    out["ph_dur"] = [round(x["xmax"] - x["xmin"], 4) for x in intervals]
+    out["phs"] = out_phs
+    out["ph_dur"] = out_dur
+    if "notes" in item:
+        out["notes"] = out_notes
+    if "notes_dur" in item:
+        out["notes_dur"] = out_ndur
+    if "is_slur" in item:
+        out["is_slur"] = out_slur
     return out
 
 
@@ -181,9 +246,27 @@ def adjust_meta_file(meta_fn: str, tg_dir: str, out_fn: str) -> int:
             if not line:
                 continue
             item = json.loads(line)
-            item_id = item["item_name"].split("#")[-1]
-            tg_fn = os.path.join(tg_dir, item_id + ".TextGrid")
-            if os.path.exists(tg_fn):
+            parts = item["item_name"].split("#")
+            # reference layout: {singer}#{song}/{sent}.TextGrid — sentence
+            # ids repeat across songs, so the bare-id flat path is only a
+            # last-resort fallback
+            cands = []
+            if len(parts) == 3:
+                cands.append(
+                    os.path.join(
+                        tg_dir, f"{parts[0]}#{parts[1]}", parts[2] + ".TextGrid"
+                    )
+                )
+            cands.append(os.path.join(tg_dir, item["item_name"] + ".TextGrid"))
+            cands.append(os.path.join(tg_dir, parts[-1] + ".TextGrid"))
+            tg_fn = next((c for c in cands if os.path.exists(c)), None)
+            if tg_fn == cands[-1] and len(parts) > 1:
+                print(
+                    f"| adjust: WARNING {item['item_name']}: using flat "
+                    f"{tg_fn} — bare sentence ids repeat across songs; "
+                    "prefer the {singer}#{song}/ layout",
+                )
+            if tg_fn is not None:
                 with open(tg_fn, encoding="utf-8") as f:
                     item = adjust_item_durations(item, f.read())
             json.dump(item, fo, ensure_ascii=False)

@@ -76,12 +76,14 @@ def mel_basis(
     return weights.astype(np.float32)
 
 
-def stft_magnitude(
+def stft_complex(
     wav: np.ndarray, fft_size: int, hop_size: int, win_size: int
 ) -> np.ndarray:
-    """Magnitude STFT, shape [fft//2+1, T]. librosa conventions:
-    center=True, pad_mode='constant', periodic Hann, window zero-padded to
-    n_fft when win_size < fft_size."""
+    """Complex STFT, shape [fft//2+1, T]. librosa conventions:
+    center=True, pad_mode='constant', periodic Hann, window zero-padded
+    to n_fft when win_size < fft_size. Single implementation — the
+    magnitude path and the vocoder denoiser share the framing
+    convention so they cannot drift."""
     window = hann_window(win_size)
     if win_size < fft_size:
         lpad = (fft_size - win_size) // 2
@@ -90,8 +92,16 @@ def stft_magnitude(
     n_frames = 1 + (len(y) - fft_size) // hop_size
     idx = np.arange(fft_size)[None, :] + hop_size * np.arange(n_frames)[:, None]
     frames = y[idx] * window[None, :]
-    spec = np.fft.rfft(frames, n=fft_size, axis=1)
-    return np.abs(spec).T.astype(np.float32)
+    return np.fft.rfft(frames, n=fft_size, axis=1).T
+
+
+def stft_magnitude(
+    wav: np.ndarray, fft_size: int, hop_size: int, win_size: int
+) -> np.ndarray:
+    """Magnitude STFT, shape [fft//2+1, T] (see stft_complex)."""
+    return np.abs(stft_complex(wav, fft_size, hop_size, win_size)).astype(
+        np.float32
+    )
 
 
 def librosa_pad_lr(x: np.ndarray, fsize: int, fshift: int, pad_sides: int = 1):

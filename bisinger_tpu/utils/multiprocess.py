@@ -19,8 +19,10 @@ from typing import Any, Callable, Iterable, Iterator, List, Sequence, Tuple
 
 
 def _worker(fn, jobs_q, results_q):
-    # keep BLAS single-threaded inside workers (reference
-    # base_binarizer.py:3 pins OMP_NUM_THREADS=1)
+    # NOTE: this env write is best-effort only — BLAS/OpenMP thread
+    # pools were typically initialized in the PARENT before fork, so the
+    # effective pin happens in run.py, which sets OMP_NUM_THREADS before
+    # numpy is first imported (mirroring reference base_binarizer.py:3)
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     while True:
         job = jobs_q.get()
@@ -44,14 +46,19 @@ def chunked_multiprocess_run(
     if num_workers == 0:
         num_workers = int(os.environ.get("N_PROC", min(os.cpu_count() or 1, 8)))
     n = len(args_list)
-    if num_workers <= 1 or n <= 1:
+    if num_workers <= 1 or n <= 1 or mp.current_process().daemon:
+        # inline: single worker, single job, or a daemonic parent
+        # (daemonic processes may not spawn children)
         for args in args_list:
             yield fn(*args)
         return
 
     ctx = mp.get_context("fork")
     jobs_q = ctx.Queue()
-    results_q = ctx.Queue()
+    # bounded like the reference's per-worker queues (q_max_size=1000,
+    # `multiprocess_utils.py`): without a bound, workers buffer every
+    # multi-MB feature dict ahead of the (disk-bound) consumer
+    results_q = ctx.Queue(maxsize=1000)
     workers = [
         ctx.Process(target=_worker, args=(fn, jobs_q, results_q), daemon=True)
         for _ in range(min(num_workers, n))

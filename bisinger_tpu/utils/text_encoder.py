@@ -101,11 +101,11 @@ class TokenTextEncoder:
         return self.seg_index
 
     def sil_phonemes(self) -> List[str]:
-        """Tokens with no ASCII letter — silence/punctuation phones
-        (reference `text_encoder.py:304-305`)."""
-        return [
-            t for t in self._token_to_id if not t.encode("ascii", "ignore").isalpha()
-        ]
+        """Tokens whose FIRST character is not a letter — silence/
+        punctuation phones (reference `text_encoder.py:304-305` tests
+        `p[0].isalpha()`: a stress-marked 'AH0' or a hanzi token must NOT
+        classify as silence, which a whole-token ascii test would do)."""
+        return [t for t in self._token_to_id if t and not t[0].isalpha()]
 
     # -- persistence --------------------------------------------------------
     def store_to_file(self, filename: str):

@@ -14,20 +14,7 @@ from scipy.fftpack import dct
 from scipy.signal import savgol_filter
 
 from bisinger_tpu.utils.audio import hann_window, mel_basis
-
-
-def _stft_complex(wav: np.ndarray, fft_size: int, hop_size: int, win_size: int):
-    """Center-padded (constant) complex STFT, librosa conventions."""
-    pad = fft_size // 2
-    x = np.pad(wav, (pad, pad), mode="constant")
-    win = hann_window(win_size)
-    if win_size < fft_size:
-        lpad = (fft_size - win_size) // 2
-        win = np.pad(win, (lpad, fft_size - win_size - lpad))
-    n_frames = 1 + (len(x) - fft_size) // hop_size
-    idx = np.arange(fft_size)[None, :] + hop_size * np.arange(n_frames)[:, None]
-    frames = x[idx] * win[None, :]
-    return np.fft.rfft(frames, n=fft_size, axis=1).T  # [freq, T]
+from bisinger_tpu.utils.audio import stft_complex as _stft_complex
 
 
 def _istft(spec: np.ndarray, fft_size: int, hop_size: int, win_size: int) -> np.ndarray:
