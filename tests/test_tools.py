@@ -165,3 +165,63 @@ item []:
     # count mismatch -> unchanged
     bad = {"item_name": "a#b#2", "phs": ["n"], "ph_dur": [1.0]}
     assert adjust_item_durations(bad, tg)["ph_dur"] == [1.0]
+
+
+def test_adjust_inserts_and_merges_silences():
+    """Silence-aware reconciliation (reference adjust_m4_ori_meta):
+    a TextGrid silence the item lacks is INSERTED as <SP>/rest; an item
+    silence MFA merged away is dropped."""
+    from bisinger_tpu.tools.meta import adjust_item_durations
+
+    def tg_for(intervals):
+        rows = []
+        for i, (a, b, t) in enumerate(intervals):
+            rows.append(
+                f"        intervals [{i+1}]:\n            xmin = {a}\n"
+                f"            xmax = {b}\n            text = \"{t}\""
+            )
+        body = "\n".join(rows)
+        return f'''File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = {len(intervals)}
+{body}
+'''
+
+    # TextGrid has a LEADING silence the item lacks -> inserted <SP>
+    tg = tg_for([(0.0, 0.2, ""), (0.2, 0.6, "n"), (0.6, 1.0, "i")])
+    item = {
+        "item_name": "a#b#1", "phs": ["n", "i"], "ph_dur": [0.5, 0.5],
+        "notes": ["C4", "D4"], "notes_dur": [0.5, 0.5], "is_slur": [0, 0],
+    }
+    out = adjust_item_durations(item, tg)
+    assert out["phs"] == ["<SP>", "n", "i"]
+    assert out["notes"] == ["rest", "C4", "D4"]
+    assert out["ph_dur"] == [0.2, 0.4, 0.4]
+    assert out["is_slur"] == [0, 0, 0]
+
+    # item has a TRAILING <SP> that MFA merged away -> dropped
+    tg2 = tg_for([(0.0, 0.5, "n"), (0.5, 1.0, "i")])
+    item2 = {
+        "item_name": "a#b#2", "phs": ["n", "i", "<SP>"],
+        "ph_dur": [0.4, 0.4, 0.2], "notes": ["C4", "D4", "rest"],
+        "notes_dur": [0.4, 0.4, 0.2], "is_slur": [0, 0, 0],
+    }
+    out2 = adjust_item_durations(item2, tg2)
+    assert out2["phs"] == ["n", "i"]
+    assert out2["ph_dur"] == [0.5, 0.5]
+
+    # irreconcilable speech phones -> unchanged
+    tg3 = tg_for([(0.0, 1.0, "n")])
+    item3 = {"item_name": "a#b#3", "phs": ["n", "i"], "ph_dur": [0.5, 0.5]}
+    assert adjust_item_durations(item3, tg3)["ph_dur"] == [0.5, 0.5]
