@@ -418,6 +418,17 @@ class M4SingerBinarizer:
             if len(phone) == 0:
                 raise BinarizationError("Empty phoneme")
             res["phone"] = np.asarray(phone, dtype=np.int64)
+            # per-phone silence flags: speech (non-MIDI) tasks split
+            # words at silences for the word-duration loss (reference
+            # `tasks/tts/fs2.py:213-259` builds is_sil from the phone
+            # strings at train time; here the strings exist only at
+            # binarize time, so the flags ride in the shard)
+            from bisinger_tpu.data.textgrid import is_sil_phoneme
+
+            res["ph_is_sil"] = np.asarray(
+                [int(is_sil_phoneme(p)) for p in item["ph"].split()],
+                dtype=np.int64,
+            )
             res["mel2ph"] = self.get_align(item, n_frames, f0=res.get("f0"))
             if "pitch_midi" in item:
                 for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):

@@ -110,7 +110,8 @@ class M4SingerDataset:
             )
             sample["f0"] = f0
             sample["uv"] = uv
-        for key in ("pitch_midi", "midi_dur", "is_slur", "word_boundary", "lang"):
+        for key in ("pitch_midi", "midi_dur", "is_slur", "word_boundary",
+                    "lang", "ph_is_sil"):
             if key in item:
                 sample[key] = np.asarray(item[key])
         if hp.get("pitch_type") == "cwt" and "cwt_spec" in item:
@@ -237,7 +238,7 @@ def collate_batch(
         batch["energy"] = pad_1d([s["energy"] for s in samples], t_mel).astype(np.float32)
     if "spk_embed" in samples[0]:
         batch["spk_embed"] = np.stack([s["spk_embed"] for s in samples])
-    for key in ("pitch_midi", "is_slur", "word_boundary", "lang"):
+    for key in ("pitch_midi", "is_slur", "word_boundary", "lang", "ph_is_sil"):
         if key in samples[0]:
             batch[key] = pad_1d([s[key] for s in samples], t_txt)
     if "midi_dur" in samples[0]:

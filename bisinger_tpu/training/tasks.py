@@ -127,10 +127,20 @@ class AuxDecoderMIDITask:
         hp = self.hp
         losses: Dict[str, jnp.ndarray] = {}
         L.add_mel_loss(ret["mel_out"], batch["mels"], losses, hp)
-        L.add_dur_loss_midi(
-            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch.get("word_boundary"),
-            losses, hp, crf_transitions=ret.get("crf_transitions"),
-        )
+        wdb = batch.get("word_boundary")
+        if wdb is None and "ph_is_sil" in batch and ret["dur"].ndim == 2:
+            # speech corpora carry no word_boundary: split words at
+            # silence phones like the reference FastSpeech2Task
+            # (`tasks/tts/fs2.py:213-259`; flags binarized as ph_is_sil)
+            L.add_dur_loss_sil(
+                ret["dur"], batch["mel2ph"], batch["txt_tokens"],
+                batch["ph_is_sil"].astype(jnp.float32), losses, hp,
+            )
+        else:
+            L.add_dur_loss_midi(
+                ret["dur"], batch["mel2ph"], batch["txt_tokens"], wdb,
+                losses, hp, crf_transitions=ret.get("crf_transitions"),
+            )
         if hp["use_pitch_embed"]:
             L.add_pitch_loss(ret, batch, losses, hp)
         if hp["use_energy_embed"]:
@@ -254,10 +264,20 @@ class DiffSingerMIDITask(AuxDecoderMIDITask):
         hp = self.hp
         losses: Dict[str, jnp.ndarray] = {}
         losses["mel"] = ret["diff_loss"]
-        L.add_dur_loss_midi(
-            ret["dur"], batch["mel2ph"], batch["txt_tokens"], batch.get("word_boundary"),
-            losses, hp, crf_transitions=ret.get("crf_transitions"),
-        )
+        wdb = batch.get("word_boundary")
+        if wdb is None and "ph_is_sil" in batch and ret["dur"].ndim == 2:
+            # speech corpora carry no word_boundary: split words at
+            # silence phones like the reference FastSpeech2Task
+            # (`tasks/tts/fs2.py:213-259`; flags binarized as ph_is_sil)
+            L.add_dur_loss_sil(
+                ret["dur"], batch["mel2ph"], batch["txt_tokens"],
+                batch["ph_is_sil"].astype(jnp.float32), losses, hp,
+            )
+        else:
+            L.add_dur_loss_midi(
+                ret["dur"], batch["mel2ph"], batch["txt_tokens"], wdb,
+                losses, hp, crf_transitions=ret.get("crf_transitions"),
+            )
         if hp["use_pitch_embed"]:
             L.add_pitch_loss(ret, batch, losses, hp)
         if hp["use_energy_embed"]:

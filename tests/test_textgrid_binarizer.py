@@ -118,3 +118,46 @@ def test_fix_zh_durations_rules():
     # shengmu/yunmu equalized over their (new) total 10 + 50 = 60
     assert dur[0] == 30 and dur[1] == 30
     assert len(out) == 60
+
+
+def test_speech_task_word_dur_via_silences(tmp_path):
+    """Speech corpora (no word_boundary) still get a word-duration loss:
+    ph_is_sil is binarized and the task dispatches to the reference's
+    silence-word split (`tasks/tts/fs2.py:213-259`)."""
+    import jax
+
+    from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+    from bisinger_tpu.training.tasks import AuxDecoderMIDITask
+    from bisinger_tpu.training.trainer import device_batch
+
+    root = str(tmp_path / "raw")
+    _write_corpus(root)
+    hp = load_hparams(
+        overrides=dict(
+            raw_data_dir=root,
+            raw_json_fn="meta.json",
+            binary_data_dir=str(tmp_path / "bin"),
+            num_spk=2,
+            test_num=1,
+            use_midi=False,
+            use_pitch_embed=False,
+            hidden_size=16,
+            enc_layers=1,
+            dec_layers=1,
+            enc_ffn_kernel_size=3,
+            dec_ffn_kernel_size=3,
+            predictor_layers=1,
+            dur_predictor_layers=1,
+            bucket_tokens=[8],
+            bucket_frames=[256],
+            binarization_args={"with_f0": True},
+        )
+    )
+    TextGridBinarizer(hp).process()
+    ds = M4SingerDataset(hp, "train", shuffle=False)
+    batch = device_batch(next(iter(DataLoader(ds, hp, shuffle=False))))
+    assert "ph_is_sil" in batch and "word_boundary" not in batch
+    task = AuxDecoderMIDITask(hp, vocab_size=16)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    losses = task.val_step(state, batch, jax.random.PRNGKey(1))
+    assert "wdur" in losses and np.isfinite(float(losses["wdur"]))
