@@ -201,6 +201,13 @@ class Reference:
                         setattr(pkg, k, getattr(mod, k))
         return importlib.import_module("modules.hifigan.hifigan")
 
+    @property
+    def pwg_module(self):
+        _ = self.hifigan_module  # installs the pwg-layers import fix
+        return importlib.import_module(
+            "modules.parallel_wavegan.models.parallel_wavegan"
+        )
+
     class FakeDictionary:
         """Duck-type of the reference's phone dictionary: only `len()` and
         `.pad()` are consumed by model constructors (`fs2.py:25-33`)."""

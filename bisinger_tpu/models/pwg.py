@@ -83,8 +83,16 @@ class ConvInUpsampleNetwork(nn.Module):
     @nn.compact
     def __call__(self, c):
         k = 2 * self.aux_context_window + 1
+        # reference semantics: the wrapper EDGE-pads the mel by the
+        # context window and conv_in runs VALID
+        # (`vocoders/pwg.py:88-96` + `layers/upsample.py:157`); folded
+        # in here so callers feed raw mels. SAME zero-padding would
+        # differ at utterance boundaries.
+        aw = self.aux_context_window
+        if aw > 0:
+            c = jnp.pad(c, ((0, 0), (aw, aw), (0, 0)), mode="edge")
         c = nn.Conv(
-            self.aux_channels, (k,), padding="SAME", use_bias=False, name="conv_in"
+            self.aux_channels, (k,), padding="VALID", use_bias=False, name="conv_in"
         )(c)
         return UpsampleNetwork(upsample_scales=self.upsample_scales, name="upsample")(c)
 

@@ -129,3 +129,37 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     if out and all(k.startswith("model_gen.") for k in out):
         out = {k[len("model_gen."):]: v for k, v in out.items()}
     return out
+
+
+def import_pwg_generator(state_dict: Dict[str, Any], hp) -> Dict[str, Any]:
+    """Torch ParallelWaveGANGenerator state dict -> flax
+    `models/pwg.py:ParallelWaveGANGenerator` params (reference layout
+    `modules/parallel_wavegan/models/parallel_wavegan.py:18-120`,
+    weight norm folded)."""
+    sd = fold_weight_norm({k: np.asarray(v) for k, v in state_dict.items()})
+    scales = list(hp.get("pwg_upsample_scales", [4, 4, 4, 2]))
+
+    params: Dict[str, Any] = {}
+    params["first_conv"] = _conv(sd, "first_conv")
+    up: Dict[str, Any] = {"conv_in": _conv(sd, "upsample_net.conv_in")}
+    up_net: Dict[str, Any] = {}
+    for i in range(len(scales)):
+        # up_layers interleave [Stretch2d, Conv2d, ...]: conv at 2i+1;
+        # Conv2d weight [1, 1, 1, 2s+1] -> shared time kernel [k, 1, 1]
+        w2d = sd[f"upsample_net.upsample.up_layers.{2 * i + 1}.weight"]
+        up_net[f"conv_{i}_kernel"] = w2d[0, 0, 0, :].reshape(-1, 1, 1).copy()
+    up["upsample"] = up_net
+    params["upsample_net"] = up
+    n_layers = 0
+    while f"conv_layers.{n_layers}.conv.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        params[f"block_{i}"] = {
+            "conv": _conv(sd, f"conv_layers.{i}.conv"),
+            "aux_conv": _conv(sd, f"conv_layers.{i}.conv1x1_aux"),
+            "skip_conv": _conv(sd, f"conv_layers.{i}.conv1x1_skip"),
+            "out_conv": _conv(sd, f"conv_layers.{i}.conv1x1_out"),
+        }
+    params["post_conv_1"] = _conv(sd, "last_conv_layers.1")
+    params["post_conv_2"] = _conv(sd, "last_conv_layers.3")
+    return jax.tree_util.tree_map(jnp.asarray, params)

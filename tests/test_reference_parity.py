@@ -433,3 +433,51 @@ class TestHifiGanGenerator:
             twav = tm(torch.as_tensor(mel).transpose(1, 2)).numpy()[:, 0]
         fwav = np.asarray(fm.apply({"params": fparams}, mel))
         _allclose(fwav, twav, what="hifigan waveform (no NSF)")
+
+
+class TestParallelWaveGANGenerator:
+    """The reference's OWN PWG generator
+    (`modules/parallel_wavegan/models/parallel_wavegan.py:18-120`) vs
+    our flax port through `vocoders/torch_import.import_pwg_generator`
+    (weight-norm folded): WaveNet blocks, gated aux conditioning,
+    shared-kernel upsample, sqrt scalings."""
+
+    def test_forward(self, ref):
+        RefGen = ref.pwg_module.ParallelWaveGANGenerator
+
+        from bisinger_tpu.config import load_hparams
+        from bisinger_tpu.models.pwg import ParallelWaveGANGenerator
+        from bisinger_tpu.vocoders.torch_import import import_pwg_generator
+
+        scales = [4, 4]
+        torch.manual_seed(3)
+        tm = RefGen(
+            layers=6, stacks=3, residual_channels=16, gate_channels=32,
+            skip_channels=16, aux_channels=80, aux_context_window=2,
+            upsample_params={"upsample_scales": scales},
+        )
+        tm.eval()
+
+        hp = load_hparams(overrides=dict(pwg_upsample_scales=scales))
+        fparams = import_pwg_generator(tm.state_dict(), hp)
+        fm = ParallelWaveGANGenerator(
+            hp=hp, layers=6, stacks=3, residual_channels=16,
+            gate_channels=32, skip_channels=16,
+        )
+
+        rng = np.random.default_rng(17)
+        t_mel = 24
+        up = int(np.prod(scales))
+        mel = rng.normal(-1, 1, (B, t_mel, 80)).astype(np.float32)
+        z = rng.normal(0, 1, (B, t_mel * up)).astype(np.float32)
+        # the reference wrapper edge-pads the aux features by the
+        # context window before the VALID conv_in (vocoders/pwg.py:88-96);
+        # our module folds that in, so pad only the torch side
+        mel_pad = np.pad(mel, ((0, 0), (2, 2), (0, 0)), "edge")
+        with torch.no_grad():
+            twav = tm(
+                torch.as_tensor(z)[:, None, :],
+                torch.as_tensor(mel_pad).transpose(1, 2),
+            ).numpy()[:, 0]
+        fwav = np.asarray(fm.apply({"params": fparams}, z, mel))
+        _allclose(fwav, twav, what="pwg waveform")
