@@ -39,11 +39,16 @@ class ResidualStack(nn.Module):
     def __call__(self, x):
         for i, d in enumerate(self.dilations):
             y = nn.leaky_relu(x, LRELU_SLOPE)
+            # reference pads with ReflectionPad1d before the dilated
+            # conv (`layers/residual_stack.py:48`) — zero padding would
+            # differ at utterance boundaries
+            p = (self.kernel_size - 1) // 2 * d
+            y = jnp.pad(y, ((0, 0), (p, p), (0, 0)), mode="reflect")
             y = nn.Conv(
                 self.channels,
                 (self.kernel_size,),
                 kernel_dilation=d,
-                padding="SAME",
+                padding="VALID",
                 name=f"conv_{i}",
             )(y)
             y = nn.leaky_relu(y, LRELU_SLOPE)
@@ -64,7 +69,10 @@ class MelGanGenerator(nn.Module):
         hp = self.hp
         scales: Sequence[int] = hp.get("melgan_upsample_scales", [8, 8, 2, 2])
         c = hp.get("melgan_channels", 512)
-        x = nn.Conv(c, (7,), padding="SAME", name="conv_pre")(mel)
+        # reflection padding like the reference's ReflectionPad1d
+        # (`models/melgan.py:45-47,124`)
+        xp = jnp.pad(mel, ((0, 0), (3, 3), (0, 0)), mode="reflect")
+        x = nn.Conv(c, (7,), padding="VALID", name="conv_pre")(xp)
         for i, s in enumerate(scales):
             c //= 2
             x = nn.leaky_relu(x, LRELU_SLOPE)
@@ -77,7 +85,8 @@ class MelGanGenerator(nn.Module):
             )(x)
             x = ResidualStack(channels=c, name=f"res_{i}")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
-        x = nn.Conv(1, (7,), padding="SAME", name="conv_post")(x)
+        x = jnp.pad(x, ((0, 0), (3, 3), (0, 0)), mode="reflect")
+        x = nn.Conv(1, (7,), padding="VALID", name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
 

@@ -163,3 +163,26 @@ def import_pwg_generator(state_dict: Dict[str, Any], hp) -> Dict[str, Any]:
     params["post_conv_1"] = _conv(sd, "last_conv_layers.1")
     params["post_conv_2"] = _conv(sd, "last_conv_layers.3")
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def import_melgan_generator(state_dict: Dict[str, Any], hp) -> Dict[str, Any]:
+    """Torch MelGANGenerator state dict -> flax
+    `models/melgan.py:MelGanGenerator` params (reference Sequential
+    layout `modules/parallel_wavegan/models/melgan.py:17-143`: layer
+    index 1 = pre conv; per scale i, 3+5i = transpose conv and
+    4+5i+j = residual stack j; 4+5n = post conv; weight norm folded)."""
+    sd = fold_weight_norm({k: np.asarray(v) for k, v in state_dict.items()})
+    scales = list(hp.get("melgan_upsample_scales", [8, 8, 2, 2]))
+
+    params: Dict[str, Any] = {"conv_pre": _conv(sd, "melgan.1")}
+    for i in range(len(scales)):
+        params[f"up_{i}"] = _conv_transpose(sd, f"melgan.{3 + 5 * i}")
+        res: Dict[str, Any] = {}
+        for j in range(3):
+            base = f"melgan.{4 + 5 * i + j}"
+            res[f"conv_{j}"] = _conv(sd, f"{base}.stack.2")
+            res[f"out_{j}"] = _conv(sd, f"{base}.stack.4")
+            res[f"skip_{j}"] = _conv(sd, f"{base}.skip_layer")
+        params[f"res_{i}"] = res
+    params["conv_post"] = _conv(sd, f"melgan.{4 + 5 * len(scales)}")
+    return jax.tree_util.tree_map(jnp.asarray, params)

@@ -481,3 +481,40 @@ class TestParallelWaveGANGenerator:
             ).numpy()[:, 0]
         fwav = np.asarray(fm.apply({"params": fparams}, z, mel))
         _allclose(fwav, twav, what="pwg waveform")
+
+
+class TestMelGANGenerator:
+    """The reference's OWN MelGAN generator
+    (`modules/parallel_wavegan/models/melgan.py:17-143`) vs our flax
+    port through `vocoders/torch_import.import_melgan_generator`
+    (reflection padding, residual stacks, weight-norm fold)."""
+
+    def test_forward(self, ref):
+        MelGANGenerator = ref.pwg_module  # ensures pwg-layers fix
+        import importlib
+
+        RefGen = importlib.import_module(
+            "modules.parallel_wavegan.models.melgan"
+        ).MelGANGenerator
+
+        from bisinger_tpu.config import load_hparams
+        from bisinger_tpu.models.melgan import MelGanGenerator
+        from bisinger_tpu.vocoders.torch_import import import_melgan_generator
+
+        scales = [4, 4]
+        torch.manual_seed(5)
+        tm = RefGen(channels=64, upsample_scales=scales)
+        tm.eval()
+
+        hp = load_hparams(
+            overrides=dict(melgan_upsample_scales=scales, melgan_channels=64)
+        )
+        fparams = import_melgan_generator(tm.state_dict(), hp)
+        fm = MelGanGenerator(hp=hp)
+
+        rng = np.random.default_rng(23)
+        mel = rng.normal(-1, 1, (B, 24, 80)).astype(np.float32)
+        with torch.no_grad():
+            twav = tm(torch.as_tensor(mel).transpose(1, 2)).numpy()[:, 0]
+        fwav = np.asarray(fm.apply({"params": fparams}, mel))
+        _allclose(fwav, twav, what="melgan waveform")
