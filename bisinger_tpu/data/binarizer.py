@@ -573,7 +573,14 @@ class MidiSingingBinarizer(M4SingerBinarizer):
                     "is_slur": song["is_slur"],
                     "word_boundary": song.get("word_boundary")
                     or derive_word_boundary(song["phs"]),
-                    "lang": [song.get("lang", 1)] * len(song["phs"]),
+                    # meta may carry lang as a scalar OR an explicit
+                    # per-phone list (same normalization the base class
+                    # applies) — broadcasting a list would nest it
+                    "lang": (
+                        song["lang"]
+                        if isinstance(song.get("lang"), list)
+                        else [song.get("lang", 1)] * len(song["phs"])
+                    ),
                     "speechsing": [song.get("speechsing", 1)],
                     "spk": spk,
                 }

@@ -339,7 +339,12 @@ class DataLoader:
         while True:
             for batch_idx in self._epoch_batches(self.epoch):
                 samples = [self.dataset[i] for i in batch_idx]
-                mult = max(self.batch_multiple, self.num_shards)
+                # the padded batch must divide into num_shards equal row
+                # slices AND satisfy batch_multiple, so pad to the lcm —
+                # max() alone (e.g. batch_multiple=6, num_shards=4 → 6
+                # rows, 1.5/shard) would make _slice_batch_rows silently
+                # drop rows on every host
+                mult = math.lcm(self.batch_multiple, self.num_shards)
                 if self.pad_batch_to_multiple and mult > 1:
                     # replicate last sample so batch dim is device-divisible
                     while len(samples) % mult:

@@ -273,15 +273,15 @@ class BilingualFrontend:
         lang = [int(float(x)) for x in inp["lang_seq"].split()]
         n = len(ph_seq.split())
         assert len(note_lst) == len(midi_dur_lst) == len(is_slur) == len(lang) == n
-        # per-phone rows repeat a note's dur for every phone of the word;
-        # count each note once: slur rows are always new notes, non-slur
-        # rows start a new note when (note, dur) changes
-        total = 0.0
-        prev = None
-        for note, dur, slur in zip(note_lst, midi_dur_lst, is_slur):
-            if slur or (note, dur) != prev:
-                total += float(dur)
-            prev = (note, dur)
+        # Phoneme-level input carries no word grid, so "count each note
+        # once" cannot be reconstructed safely: consecutive words sung on
+        # the same (note, dur) — repeated quarter notes are common — would
+        # collapse into one note and UNDERCOUNT, silently shrinking the
+        # mel-frame bucket and truncating audio. Use the conservative
+        # per-row sum (a safe overestimate: multi-phone words repeat their
+        # note's dur per phone, so the bucket is at worst padded, never
+        # short). Word-level input computes the exact duration instead.
+        total = sum(float(d) for d in midi_dur_lst)
         return {
             "ph_seq": ph_seq,
             "note_lst": note_lst,

@@ -218,6 +218,19 @@ class SVSInfer:
         ret = self.task.infer_step(self.params, device_batch(batch), rng)
         mel_out = np.asarray(ret["mel_out"])  # [B, T, 80]
         mel2ph = np.asarray(ret["mel2ph"])
+        # Safety net behind the bucket-budget estimate in items_to_batch:
+        # if the PREDICTED durations fill the whole mel bucket, the score
+        # almost certainly wanted more frames than the bucket holds.
+        t_mel = mel2ph.shape[1]
+        sat = [int((mel2ph[b] > 0).sum()) for b in range(mel2ph.shape[0])]
+        if any(s >= t_mel for s in sat):
+            print(
+                f"| WARNING: predicted durations fill the entire mel bucket "
+                f"(t_mel={t_mel}) for {sum(s >= t_mel for s in sat)} item(s) "
+                "— output is likely truncated; split the score or raise "
+                "bucket_frames",
+                flush=True,
+            )
         out = {"mel_out": mel_out, "mel2ph": mel2ph}
         if self.pe_task is not None and self.pe_params is not None:
             pe_ret = self.pe_task.infer_step(self.pe_params, ret["mel_out"])

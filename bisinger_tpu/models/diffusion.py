@@ -466,10 +466,15 @@ class OfflineGaussianDiffusion(GaussianDiffusion):
             t_start = jnp.full((fs2_mels.shape[0],), k - 1, dtype=jnp.int32)
             x = self.q_sample(fs2_mels, t_start, noise)
         cond_proj = self.denoise_fn.cond_projections(cond)
-        # same sampler dispatch as the online variant (PLMS/dpmpp honor
-        # pndm_speedup / diff_sampler; previously this always ran the
-        # full K-step DDPM loop)
-        x = self._dispatch_sampler(x, cond_proj, k, rng_loop)
+        # The reference's offline variant ALWAYS runs the full K-step DDPM
+        # p_sample loop (shallow_diffusion_tts.py:288-319) even when
+        # pndm_speedup is set — only the online variant dispatches fast
+        # samplers (:258-279). Match that by default; the fast-sampler
+        # dispatch (PLMS/dpmpp) is an explicit opt-in (PARITY.md).
+        if hp.get("offline_fast_sampler"):
+            x = self._dispatch_sampler(x, cond_proj, k, rng_loop)
+        else:
+            x = self.ddpm_sample_loop(x, cond_proj, k, rng_loop)
         ret["mel_out"] = self.denorm_spec(x)
         return ret
 

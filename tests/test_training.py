@@ -267,10 +267,13 @@ def test_offline_diffusion_task(tiny_env, tmp_path):
     ret = task.infer_step(state.params, batch, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(ret["mel_out"])).all()
 
-    # the offline variant honors the fast-sampler dispatch too
-    # (previously it always ran the full-K DDPM loop)
+    # fast samplers are an explicit opt-in for the offline variant
+    # (reference offline always runs full-K DDPM even with pndm_speedup
+    # set, shallow_diffusion_tts.py:288-319 — see PARITY.md)
     for over in (dict(pndm_speedup=2), dict(diff_sampler="dpmpp", dpm_steps=2)):
-        t2 = DiffSingerOfflineTask(hp2.replace(**over), vocab_size)
+        t2 = DiffSingerOfflineTask(
+            hp2.replace(offline_fast_sampler=True, **over), vocab_size
+        )
         r2 = t2.infer_step(state.params, batch, jax.random.PRNGKey(3))
         assert np.isfinite(np.asarray(r2["mel_out"])).all()
 
