@@ -23,6 +23,7 @@ import numpy as np
 
 from bisinger_tpu.config import HParams
 from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+from bisinger_tpu.data.prefetch import Prefetcher
 from bisinger_tpu.parallel import (
     global_batch_from_process_local,
     make_mesh,
@@ -155,13 +156,30 @@ class Trainer:
         if hasattr(self.task, "configure_accumulation"):
             # per-epoch grad-accum schedules need batches/epoch
             self.task.configure_accumulation(train_dl.batches_per_epoch())
-        train_iter = iter(train_dl)
 
+        # async feeding: collate + device_put run on a background thread
+        # (depth-2 bound) so batch prep overlaps the device step
+        # (SURVEY §7.1). dataloader_prefetch=0 restores the synchronous
+        # path; both feed identical batches in identical order.
+        prep = lambda b: self._shard(device_batch(b))  # noqa: E731
+        depth = int(hp.get("dataloader_prefetch", 2) or 0)
+        if depth > 0:
+            train_iter = Prefetcher(iter(train_dl), depth=depth, transform=prep)
+        else:
+            train_iter = map(prep, iter(train_dl))
+        try:
+            return self._fit_loop(max_updates, train_iter, valid_dl)
+        finally:
+            if isinstance(train_iter, Prefetcher):
+                train_iter.close()
+
+    def _fit_loop(self, max_updates, train_iter, valid_dl):
+        hp = self.hp
         rng = jax.random.PRNGKey(hp["seed"])
-        first_batch = device_batch(next(train_iter))
+        first_batch = next(train_iter)  # already device-put + sharded
         with self.mesh:
             rng, init_rng = jax.random.split(rng)
-            state = self.task.init_state(init_rng, self._shard(first_batch))
+            state = self.task.init_state(init_rng, first_batch)
 
             # resume
             restored = self.ckpt.restore(jax.device_get(state))
@@ -214,8 +232,7 @@ class Trainer:
                     batch = pending
                     pending = None
                 else:
-                    batch = device_batch(next(train_iter))
-                batch = self._shard(batch)
+                    batch = next(train_iter)  # pre-sharded by the feeder
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = self.task.train_step(
                     state, batch, step_rng, **self._step_flags()
