@@ -98,6 +98,20 @@ def main():
             vocoder_mrf_backend=os.environ.get("BENCH_MRF", ""),
         )
     )
+    # BENCH_MULTIBAND=4: PQMF fast mode — the generator emits 4 subbands
+    # at sr/4 (tail MRF stages run 4x shorter) and PQMF synthesizes the
+    # full-rate wav. Trained-mode variant: throughput-valid here (bench
+    # weights are random either way), quality needs multiband training.
+    multiband = int(os.environ.get("BENCH_MULTIBAND", 1))
+    if multiband > 1:
+        hp = hp.replace(
+            vocoder_multiband=multiband,
+            upsample_rates=[8, 4],
+            upsample_kernel_sizes=[16, 8],
+            # time_fold targets narrow FULL-RATE tail stages; with 2
+            # upsample stages the tail channels stay >=128 already
+            vocoder_time_fold=int(os.environ.get("BENCH_VOC_FOLD", 0)),
+        )
 
     from __graft_entry__ import _batch
 
@@ -149,6 +163,10 @@ def main():
         wav = voc.apply(
             {"params": voc_params}, mel, f0, rngs={"nsf": jax.random.fold_in(rng, 1)}
         )
+        if multiband > 1:
+            from bisinger_tpu.models.pwg import PQMF
+
+            wav = PQMF(multiband).synthesis(wav)
         # return a scalar: fetching it to host forces real completion
         # (block_until_ready returns early on the axon tunnel platform)
         import jax.numpy as jnp
@@ -183,7 +201,9 @@ def main():
                 "unit": (
                     f"audio-s/s (B={B}, {sampler_desc} diffusion"
                     + (" + PE f0" if use_pe else "")
-                    + " + HiFi-GAN NSF)"
+                    + " + HiFi-GAN NSF"
+                    + (f" MB{multiband}-PQMF" if multiband > 1 else "")
+                    + ")"
                 ),
                 "vs_baseline": round(value / 1.0, 3),
             }

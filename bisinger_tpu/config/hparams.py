@@ -248,9 +248,17 @@ def load_hparams(
     # deep copy: dotted overrides write into nested dicts and must never
     # mutate the module-global defaults (or a caller's base tree)
     cfg = copy.deepcopy(_as_dict(base)) if base is not None else copy.deepcopy(DEFAULT_HPARAMS)
+    # provenance: which top-level keys were EXPLICITLY set by a config
+    # file or an override (vs inherited from the built-in defaults) —
+    # lets consumers distinguish "user asked for this value" from "the
+    # default happened to be this value" (e.g. the lr=2.0 rsqrt-scale
+    # sentinel in training/optim.py:step_decay_schedule)
+    explicit = set(cfg.get("_explicit_keys", ()))
     if config_path is not None:
         path = _resolve_path(config_path, None, roots)
-        cfg = _deep_merge(cfg, _load_config_file(path, roots))
+        file_cfg = _load_config_file(path, roots)
+        explicit.update(file_cfg.keys())
+        cfg = _deep_merge(cfg, file_cfg)
 
     if overrides:
         if isinstance(overrides, str):
@@ -258,11 +266,14 @@ def load_hparams(
         for k, v in overrides.items():
             node = cfg
             keys = k.split(".")
+            explicit.add(keys[0])
             for kk in keys[:-1]:
                 node = node.setdefault(kk, {})
             old = node.get(keys[-1])
             node[keys[-1]] = _coerce(v, old) if isinstance(v, str) else v
 
+    explicit.discard("_explicit_keys")
+    cfg["_explicit_keys"] = tuple(sorted(explicit))
     return HParams(cfg)
 
 

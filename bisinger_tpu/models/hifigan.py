@@ -259,6 +259,15 @@ class HifiGanGenerator(nn.Module):
         c0 = hp["upsample_initial_channel"]
         resblock = ResBlock1 if str(hp.get("resblock", "1")) == "1" else ResBlock2
         dtype = jnp.bfloat16 if hp.get("compute_dtype") == "bfloat16" else jnp.float32
+        # Multiband fast mode: emit `vocoder_multiband` PQMF subbands at
+        # sample_rate/n instead of one full-rate waveform — the conv
+        # stack stops n x earlier in time, cutting the expensive tail MRF
+        # stages by the same factor; `PQMF(n).synthesis` (models/pwg.py)
+        # reconstructs the full-rate wav. Contract:
+        # prod(upsample_rates) * n == hop_size. A TRAINED-mode variant
+        # (subband weights are not derivable from full-band checkpoints).
+        multiband = int(hp.get("vocoder_multiband", 1))
+        c_out = multiband if multiband > 1 else self.c_out
         # NSF is active whenever an f0 track is provided — the wrapper
         # (vocoders/hifigan.py) gates passing f0 on `use_nsf`. Gating on
         # `use_pitch_embed` here (an ACOUSTIC-model flag) silently ran
@@ -269,7 +278,10 @@ class HifiGanGenerator(nn.Module):
         if use_nsf:
             if rng is None:
                 rng = self.make_rng("nsf")
-            total_up = int(np.prod(rates))
+            # the harmonic source always lives at the FULL sample rate
+            # (subband-rate sines would alias the upper harmonics); the
+            # per-stage noise_convs stride it down to each stage's rate
+            total_up = int(np.prod(rates)) * multiband
             # nearest-neighbour upsample f0 to sample rate (torch Upsample default)
             f0_up = jnp.repeat(f0, total_up, axis=1)[:, :, None]
             har_source, _uv = SourceModuleHnNSF(
@@ -292,8 +304,8 @@ class HifiGanGenerator(nn.Module):
                 name=f"up_{i}",
             )(x)
             if use_nsf:
-                if i + 1 < len(rates):
-                    stride_f0 = int(np.prod(rates[i + 1 :]))
+                stride_f0 = int(np.prod(rates[i + 1 :])) * multiband
+                if stride_f0 > 1:
                     xs = nn.Conv(
                         c_cur,
                         (stride_f0 * 2,),
@@ -378,10 +390,10 @@ class HifiGanGenerator(nn.Module):
             if fold > 1:
                 x = unfold_time(x, fold)
         x = nn.leaky_relu(x)
-        x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=conv_init,
+        x = nn.Conv(c_out, (7,), padding="SAME", kernel_init=conv_init,
                     name="conv_post")(x.astype(jnp.float32))
         x = jnp.tanh(x)
-        return x[..., 0] if self.c_out == 1 else x
+        return x[..., 0] if c_out == 1 else x
 
 
 # --------------------------------------------------------------------------

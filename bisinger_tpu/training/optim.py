@@ -39,19 +39,21 @@ def rsqrt_schedule(hp: HParams) -> Callable:
 
 def step_decay_schedule(hp: HParams) -> Callable:
     lr = hp["lr"]
-    if lr == 2.0:
-        # EXACTLY the global default: lr=2.0 is the rsqrt-schedule SCALE
-        # factor (reference `configs/tts/base.yaml:70`, multiplied by
-        # warmup^-0.5 * hidden^-0.5); fed raw into AdamW it diverges in
-        # 2 steps. The reference's diffusion recipes override lr: 0.001
-        # (`usr/configs/base.yaml:7`) — substitute that only for the
-        # untouched default so the substitution can't clobber a
-        # deliberately configured lr (any other value, however large,
-        # is taken at face value).
+    if lr == 2.0 and "lr" not in hp.get("_explicit_keys", ()):
+        # The INHERITED global default: lr=2.0 is the rsqrt-schedule
+        # SCALE factor (reference `configs/tts/base.yaml:70`, multiplied
+        # by warmup^-0.5 * hidden^-0.5); fed raw into AdamW it diverges
+        # in 2 steps. The reference's diffusion recipes override
+        # lr: 0.001 (`usr/configs/base.yaml:7`) — substitute that ONLY
+        # when lr was never set by a config file or override
+        # (hparams.py records provenance in _explicit_keys), so a user
+        # who really configures lr=2.0 with step decay gets exactly
+        # that.
         print(
-            "| WARNING: lr=2.0 (the rsqrt-scale default) with the "
-            "step-decay schedule would diverge; using the reference "
-            "diffusion default 0.001 (any explicitly set lr is honored)",
+            "| WARNING: lr=2.0 inherited from the rsqrt-scale default "
+            "with the step-decay schedule would diverge; using the "
+            "reference diffusion default 0.001 (set lr explicitly to "
+            "override)",
             flush=True,
         )
         lr = 0.001

@@ -90,6 +90,14 @@ class HifiGanTask:
         self.disc_tx = optax.adamw(lr, b1=b1, b2=b2)
         self.lambda_mel = hp.get("lambda_mel", 45.0)
         self.use_mrstft = hp.get("use_mrstft_loss", False)
+        # multiband fast mode: the generator emits PQMF subbands; the
+        # discriminators and losses see the PQMF-synthesized full-band
+        # wav, so the rest of the GAN recipe is unchanged
+        self.pqmf = None
+        if int(hp.get("vocoder_multiband", 1)) > 1:
+            from bisinger_tpu.models.pwg import PQMF
+
+            self.pqmf = PQMF(int(hp["vocoder_multiband"]))
 
     def init_states(self, rng, mel, f0, wav) -> Tuple[GANTrainState, GANTrainState]:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
@@ -107,7 +115,8 @@ class HifiGanTask:
         return gen_state, disc_state
 
     def _generate(self, gen_params, mel, f0, rng):
-        return self.generator.apply({"params": gen_params}, mel, f0, rngs={"nsf": rng})
+        out = self.generator.apply({"params": gen_params}, mel, f0, rngs={"nsf": rng})
+        return self.pqmf.synthesis(out) if self.pqmf is not None else out
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def train_step(

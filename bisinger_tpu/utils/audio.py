@@ -228,11 +228,25 @@ def trim_long_silences(
     window_ms: int = 30,
     moving_average_width: int = 8,
 ):
-    """Collapse long silences (reference `trim_long_silences:29-92`,
-    webrtcvad replaced by an energy VAD): 30 ms windows, voiced =
-    smoothed rms above an adaptive threshold, voiced regions dilated by
-    `vad_max_silence_length` windows. Returns (trimmed, mask)."""
+    """Collapse long silences (reference `trim_long_silences`,
+    `data_gen_utils.py:29-92`). Returns (trimmed, mask).
+
+    When webrtcvad is importable the reference convention runs verbatim
+    (16 kHz resample, 16-bit PCM windows through `Vad(mode=3)`, centered
+    moving-average smoothing, voiced-region dilation); otherwise an
+    energy VAD approximates the voice flags with the same smoothing and
+    dilation pipeline."""
     from scipy.ndimage import binary_dilation
+
+    try:  # pragma: no cover - exercised via an injected fake in tests
+        import webrtcvad
+    except ImportError:
+        webrtcvad = None
+    if webrtcvad is not None and len(wav):
+        return _trim_long_silences_webrtc(
+            wav, sr, webrtcvad, vad_max_silence_length, window_ms,
+            moving_average_width,
+        )
 
     spw = (window_ms * sr) // 1000
     n_win = len(wav) // spw
@@ -256,4 +270,62 @@ def trim_long_silences(
     mask_w = binary_dilation(mask_w, np.ones(vad_max_silence_length + 1, bool))
     mask = np.repeat(mask_w, spw)
     mask = np.concatenate([mask, np.ones(len(wav) - len(mask), bool)])
+    return wav[mask], mask
+
+
+def _trim_long_silences_webrtc(
+    wav, sr, webrtcvad, vad_max_silence_length, window_ms, moving_average_width
+):
+    """The reference's exact VAD convention (`data_gen_utils.py:38-92`):
+    resample to 16 kHz, run `webrtcvad.Vad(mode=3)` over 30 ms 16-bit PCM
+    windows, centered moving-average smoothing, dilate voiced regions,
+    stretch the mask back to the input rate."""
+    import struct
+    from fractions import Fraction
+
+    from scipy.ndimage import binary_dilation
+    from scipy.signal import resample_poly
+
+    vad_sr = 16000
+    if sr != vad_sr:
+        frac = Fraction(vad_sr, sr)
+        wav16 = resample_poly(wav, frac.numerator, frac.denominator)
+    else:
+        wav16 = wav
+    spw = (window_ms * vad_sr) // 1000
+    wav16 = wav16[: len(wav16) - len(wav16) % spw]
+    if len(wav16) == 0:
+        return wav, np.ones(len(wav), bool)
+
+    pcm = struct.pack(
+        "%dh" % len(wav16),
+        *np.round(np.clip(wav16, -1.0, 1.0) * 32767).astype(np.int16),
+    )
+    vad = webrtcvad.Vad(mode=3)
+    flags = np.array(
+        [
+            vad.is_speech(pcm[s * 2 : (s + spw) * 2], sample_rate=vad_sr)
+            for s in range(0, len(wav16), spw)
+        ],
+        dtype=float,
+    )
+
+    # centered moving average (reference `data_gen_utils.py:77-84`)
+    width = moving_average_width
+    padded = np.concatenate(
+        [np.zeros((width - 1) // 2), flags, np.zeros(width // 2)]
+    )
+    csum = np.cumsum(padded, dtype=float)
+    csum[width:] = csum[width:] - csum[:-width]
+    mask_w = np.round(csum[width - 1 :] / width).astype(bool)
+    mask_w = binary_dilation(mask_w, np.ones(vad_max_silence_length + 1, bool))
+
+    mask16 = np.repeat(mask_w, spw)
+    # stretch the 16 kHz mask back onto the input waveform (reference
+    # uses skimage resize; nearest-index mapping is equivalent for a
+    # boolean mask)
+    pos = np.minimum(
+        (np.arange(len(wav)) * vad_sr) // sr, len(mask16) - 1
+    ).astype(int)
+    mask = mask16[pos] > 0
     return wav[mask], mask

@@ -33,16 +33,50 @@ def sync(x=None) -> None:
     float(jnp.asarray(x).sum())
 
 
+class TimerRegistry:
+    """Accumulation store for `Timer`. The reference keeps one global
+    dict (`utils/__init__.py:223-238`); here the store is an object so
+    tests and concurrent pipelines can isolate their measurements —
+    `DEFAULT_TIMERS` below preserves the convenient shared-by-name
+    behaviour for production code."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    def add(self, name: str, seconds: float):
+        self.totals[name] += seconds
+        self.counts[name] += 1
+
+    def report(self) -> str:
+        return "\n".join(
+            f"| {name}: {total:.3f}s over {self.counts[name]} calls"
+            for name, total in sorted(self.totals.items())
+        )
+
+    def reset(self):
+        self.totals.clear()
+        self.counts.clear()
+
+
+DEFAULT_TIMERS = TimerRegistry()
+
+
 class Timer:
-    """Named wall-clock accumulator (reference `utils.Timer`)."""
+    """Named wall-clock accumulator context manager (reference
+    `utils.Timer`). Pass `registry=` for isolated accumulation."""
 
-    totals: Dict[str, float] = defaultdict(float)
-    counts: Dict[str, int] = defaultdict(int)
-
-    def __init__(self, name: str, enabled: bool = True, device_sync: bool = False):
+    def __init__(
+        self,
+        name: str,
+        enabled: bool = True,
+        device_sync: bool = False,
+        registry: Optional[TimerRegistry] = None,
+    ):
         self.name = name
         self.enabled = enabled
         self.device_sync = device_sync
+        self.registry = registry if registry is not None else DEFAULT_TIMERS
 
     def __enter__(self):
         if self.enabled:
@@ -55,21 +89,15 @@ class Timer:
         if self.enabled:
             if self.device_sync:
                 sync()
-            Timer.totals[self.name] += time.perf_counter() - self.t0
-            Timer.counts[self.name] += 1
+            self.registry.add(self.name, time.perf_counter() - self.t0)
 
     @classmethod
     def report(cls) -> str:
-        lines = [
-            f"| {name}: {total:.3f}s over {cls.counts[name]} calls"
-            for name, total in sorted(cls.totals.items())
-        ]
-        return "\n".join(lines)
+        return DEFAULT_TIMERS.report()
 
     @classmethod
     def reset(cls):
-        cls.totals.clear()
-        cls.counts.clear()
+        DEFAULT_TIMERS.reset()
 
 
 class AudioSecondsCounter:

@@ -30,6 +30,14 @@ class HifiGAN(BaseVocoder):
     def __init__(self, hp: HParams, params=None):
         self.hp = hp
         self.model = HifiGanGenerator(hp=hp)
+        # multiband fast mode: the generator emits PQMF subbands at
+        # sample_rate/n; synthesis back to full rate happens inside the
+        # same jitted program (models/hifigan.py multiband note)
+        self.pqmf = None
+        if int(hp.get("vocoder_multiband", 1)) > 1:
+            from bisinger_tpu.models.pwg import PQMF
+
+            self.pqmf = PQMF(int(hp["vocoder_multiband"]))
         self.loaded = params is not None
         self.params = params if params is not None else self.load_params(hp)
 
@@ -59,11 +67,13 @@ class HifiGAN(BaseVocoder):
     # ---- inference --------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
     def _forward(self, params, mel, f0, rng):
-        return self.model.apply({"params": params}, mel, f0, rngs={"nsf": rng})
+        out = self.model.apply({"params": params}, mel, f0, rngs={"nsf": rng})
+        return self.pqmf.synthesis(out) if self.pqmf is not None else out
 
     @functools.partial(jax.jit, static_argnums=0)
     def _forward_no_f0(self, params, mel):
-        return self.model.apply({"params": params}, mel)
+        out = self.model.apply({"params": params}, mel)
+        return self.pqmf.synthesis(out) if self.pqmf is not None else out
 
     def spec2wav_batch(self, mels, f0s=None, rng=None):
         """Batched [B, T, 80] (+ f0 [B, T]) -> wav [B, T*hop]: ONE device

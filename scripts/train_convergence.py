@@ -234,13 +234,26 @@ def main():
         summary["wav_error"] = str(e)
         log(f"vocode step skipped: {e}")
 
+    # Convergence bars. The fs2 regression losses should collapse; the
+    # diffusion ε-prediction loss has a HIGH IRREDUCIBLE FLOOR (the
+    # denoiser predicts unit Gaussian noise from a noised mel, so even a
+    # perfect model keeps most of the loss at large t) — a 15% drop in a
+    # miniature run is material; the end-to-end quality signal for that
+    # stage is the SAMPLED mel MAE. TC_SMOKE=1 (CI) only requires every
+    # signal to move the right way.
+    smoke = os.environ.get("TC_SMOKE") == "1"
+    f_loss, f_mae, d_loss, d_mae = (
+        (0.995, 0.995, 0.999, 0.98) if smoke else (0.7, 0.8, 0.85, 0.8)
+    )
     summary["converged"] = bool(
-        summary["fs2"]["total_loss_last"] < 0.7 * summary["fs2"]["total_loss_first"]
+        summary["fs2"]["total_loss_last"]
+        < f_loss * summary["fs2"]["total_loss_first"]
         and summary["fs2"]["teacher_forced_mae_final"]
-        < 0.8 * summary["fs2"]["teacher_forced_mae_step0"]
-        and summary["diffusion"]["mel_last"] < 0.7 * summary["diffusion"]["mel_first"]
+        < f_mae * summary["fs2"]["teacher_forced_mae_step0"]
+        and summary["diffusion"]["mel_last"]
+        < d_loss * summary["diffusion"]["mel_first"]
         and summary["diffusion"]["sampled_mae_final"]
-        < 0.8 * summary["diffusion"]["sampled_mae_step0"]
+        < d_mae * summary["diffusion"]["sampled_mae_step0"]
     )
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
