@@ -248,16 +248,21 @@ def load_hparams(
     # deep copy: dotted overrides write into nested dicts and must never
     # mutate the module-global defaults (or a caller's base tree)
     cfg = copy.deepcopy(_as_dict(base)) if base is not None else copy.deepcopy(DEFAULT_HPARAMS)
-    # provenance: which top-level keys were EXPLICITLY set by a config
-    # file or an override (vs inherited from the built-in defaults) —
-    # lets consumers distinguish "user asked for this value" from "the
-    # default happened to be this value" (e.g. the lr=2.0 rsqrt-scale
-    # sentinel in training/optim.py:step_decay_schedule)
+    # provenance: which top-level keys were EXPLICITLY set by the named
+    # config file ITSELF or an override — NOT inherited through the
+    # base_config cascade and NOT from the built-in defaults. Keys a
+    # user's config pulls in via base_config (e.g. the shipped
+    # `configs/tts/base.yaml` rsqrt-scale `lr: 2.0`) are that user's
+    # *defaults*; counting them as explicit would defeat every
+    # default-vs-intent check downstream (the lr=2.0 step-decay
+    # substitution in training/optim.py diverged exactly this way).
     explicit = set(cfg.get("_explicit_keys", ()))
     if config_path is not None:
         path = _resolve_path(config_path, None, roots)
         file_cfg = _load_config_file(path, roots)
-        explicit.update(file_cfg.keys())
+        with open(path) as f:
+            own_keys = (yaml.safe_load(f) or {}).keys()
+        explicit.update(k for k in own_keys if k != "base_config")
         cfg = _deep_merge(cfg, file_cfg)
 
     if overrides:

@@ -84,3 +84,53 @@ def test_shipped_config_tree():
     assert flagship["K_step"] == 1000 and flagship["pndm_speedup"] == 5
     assert flagship["num_spk"] == 21
     assert flagship["mel_loss"] == "l1:0.5|ssim:0.5"  # inherited from tts/fs2
+
+
+def test_explicit_keys_exclude_base_config_inheritance(tmp_path):
+    """_explicit_keys provenance: keys from the NAMED file or an override
+    are explicit; keys inherited via base_config (e.g. the shipped
+    tts/base.yaml rsqrt-scale `lr: 2.0`) are that config's defaults.
+    Regression: counting cascade keys as explicit disabled the lr=2.0
+    step-decay substitution for every config built on the standard
+    cascade, and the diffusion stage diverged in 2 steps."""
+    from bisinger_tpu.config import load_hparams
+
+    (tmp_path / "base.yaml").write_text("lr: 2.0\nfoo: 1\n")
+    (tmp_path / "exp.yaml").write_text("base_config: base.yaml\nbar: 2\n")
+
+    hp = load_hparams(str(tmp_path / "exp.yaml"))
+    assert hp["lr"] == 2.0 and hp["foo"] == 1
+    assert "bar" in hp["_explicit_keys"]
+    assert "lr" not in hp["_explicit_keys"]
+    assert "foo" not in hp["_explicit_keys"]
+    assert "base_config" not in hp["_explicit_keys"]
+
+    hp2 = load_hparams(str(tmp_path / "exp.yaml"), overrides="lr=2.0")
+    assert "lr" in hp2["_explicit_keys"]
+
+    (tmp_path / "exp2.yaml").write_text("base_config: base.yaml\nlr: 2.0\n")
+    hp3 = load_hparams(str(tmp_path / "exp2.yaml"))
+    assert "lr" in hp3["_explicit_keys"]
+
+
+def test_step_decay_substitution_applies_to_shipped_cascade():
+    """A user config inheriting the standard cascade (lr 2.0 from
+    tts/base.yaml) but running the step-decay (diffusion) schedule gets
+    the reference diffusion default 0.001, not the raw rsqrt scale —
+    while the flagship diff.yaml's own `lr: 0.001` is untouched."""
+    import os
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.training.optim import step_decay_schedule
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    hp = load_hparams(os.path.join(root, "usr", "m4-detect-ori-shift", "base.yaml"))
+    assert hp["lr"] == 2.0 and "lr" not in hp["_explicit_keys"]
+    sched = step_decay_schedule(hp)
+    assert abs(float(sched(0)) - 0.001) < 1e-9
+
+    flagship = load_hparams(
+        os.path.join(root, "usr", "m4-detect-ori-shift", "diff.yaml")
+    )
+    assert flagship["lr"] == 0.001 and "lr" in flagship["_explicit_keys"]
+    assert abs(float(step_decay_schedule(flagship)(0)) - 0.001) < 1e-9
