@@ -172,6 +172,50 @@ def main():
         json.dump(tr1.history, f)
     log(f"fs2 stage: {summary['fs2']}")
 
+    # ---- stage 1.5: PitchExtractor (mel -> f0/uv) ---------------------------
+    # the PE drives the NSF vocoder at inference (reference
+    # `tasks/tts/pe.py:103-157`); train it on the same corpus and probe
+    # voiced-frame f0 MAE in Hz against the ground-truth track
+    t0 = time.time()
+    from bisinger_tpu.training.tasks import PitchExtractionTask
+    from bisinger_tpu.utils.pitch import denorm_f0
+
+    hp_pe = load_hparams(
+        overrides=dict(base, work_dir=os.path.join(out_dir, "pe"))
+    )
+    task_pe = PitchExtractionTask(hp_pe)
+    state_pe0 = task_pe.init_state(jax.random.PRNGKey(42), val_batch)
+
+    def pe_f0_mae(state):
+        ret = task_pe.infer_step(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            val_batch["mels"],
+        )
+        gt = denorm_f0(
+            val_batch["f0"], val_batch["uv"], hp_pe["pitch_norm"],
+            use_uv=hp_pe["use_uv"],
+        )
+        voiced = (np.asarray(val_batch["uv"]) == 0) & (
+            np.asarray(val_batch["mel2ph"]) > 0
+        )
+        err = np.abs(np.asarray(ret["f0_denorm_pred"]) - np.asarray(gt))
+        return float(err[voiced].mean())
+
+    mae_pe_0 = pe_f0_mae(state_pe0)
+    tr_pe = RecordingTrainer(task_pe, hp_pe)
+    state_pe = tr_pe.fit()
+    mae_pe_1 = pe_f0_mae(state_pe)
+    summary["pe"] = {
+        "total_loss_first": window_avg(tr_pe.history, "total_loss", first=True),
+        "total_loss_last": window_avg(tr_pe.history, "total_loss", first=False),
+        "val_f0_mae_hz_step0": mae_pe_0,
+        "val_f0_mae_hz_final": mae_pe_1,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(out_dir, "curves_pe.json"), "w") as f:
+        json.dump(tr_pe.history, f)
+    log(f"pe stage: {summary['pe']}")
+
     # ---- stage 2: shallow diffusion, warm-started from stage 1 ------------
     t0 = time.time()
     hp_diff = load_hparams(
@@ -242,8 +286,10 @@ def main():
     # stage is the SAMPLED mel MAE. TC_SMOKE=1 (CI) only requires every
     # signal to move the right way.
     smoke = os.environ.get("TC_SMOKE") == "1"
-    f_loss, f_mae, d_loss, d_mae = (
-        (0.995, 0.995, 0.999, 0.98) if smoke else (0.7, 0.8, 0.85, 0.8)
+    f_loss, f_mae, d_loss, d_mae, p_loss, p_mae = (
+        (0.995, 0.995, 0.999, 0.98, 0.995, 0.995)
+        if smoke
+        else (0.7, 0.8, 0.85, 0.8, 0.8, 0.8)
     )
     summary["converged"] = bool(
         summary["fs2"]["total_loss_last"]
@@ -254,6 +300,10 @@ def main():
         < d_loss * summary["diffusion"]["mel_first"]
         and summary["diffusion"]["sampled_mae_final"]
         < d_mae * summary["diffusion"]["sampled_mae_step0"]
+        and summary["pe"]["total_loss_last"]
+        < p_loss * summary["pe"]["total_loss_first"]
+        and summary["pe"]["val_f0_mae_hz_final"]
+        < p_mae * summary["pe"]["val_f0_mae_hz_step0"]
     )
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
