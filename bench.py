@@ -96,6 +96,9 @@ def main():
             # (ops/mrf_pallas.py) — measured slower than XLA on v5e;
             # see the STATUS note there. Off by default.
             vocoder_mrf_backend=os.environ.get("BENCH_MRF", ""),
+            # BENCH_SUBPIXEL=1: phase-packed dense lowering for the
+            # upsample transpose convs (ops/subpixel.py, exact rewrite)
+            vocoder_subpixel=bool(int(os.environ.get("BENCH_SUBPIXEL", 0))),
         )
     )
     # BENCH_MULTIBAND=4: PQMF fast mode — the generator emits 4 subbands

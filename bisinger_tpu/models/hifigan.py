@@ -29,6 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from bisinger_tpu.config import HParams
+from bisinger_tpu.ops.subpixel import UpsampleConvTranspose
 
 LRELU_SLOPE = 0.1
 
@@ -293,12 +294,15 @@ class HifiGanGenerator(nn.Module):
             c_cur = c0 // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
             # SAME transpose-conv == torch ConvTranspose1d(k, u, pad=(k-u)//2):
-            # output length exactly T*u
-            x = nn.ConvTranspose(
-                c_cur,
-                (k,),
-                strides=(u,),
-                padding="SAME",
+            # output length exactly T*u. `vocoder_subpixel: true` swaps
+            # the lowering for the exact phase-packed dense conv
+            # (ops/subpixel.py) — same params, same arithmetic, no
+            # zero-dilated MACs, u*C output channels fill the MXU lanes.
+            x = UpsampleConvTranspose(
+                features=c_cur,
+                kernel_size=k,
+                stride=u,
+                subpixel=bool(hp.get("vocoder_subpixel")),
                 kernel_init=conv_init,
                 dtype=dtype,
                 name=f"up_{i}",
