@@ -163,15 +163,28 @@ class Trainer:
         # path; both feed identical batches in identical order.
         prep = lambda b: self._shard(device_batch(b))  # noqa: E731
         depth = int(hp.get("dataloader_prefetch", 2) or 0)
-        if depth > 0:
-            train_iter = Prefetcher(iter(train_dl), depth=depth, transform=prep)
+        # where the H2D transfer is issued: "main" stages record fetch +
+        # collate on the worker thread but calls device_put on the
+        # consuming thread right before use. On the axon-tunnel platform
+        # a worker-thread device_put contends with step dispatch on the
+        # single RPC channel (measured -10% vs sync,
+        # scripts/bench_pipeline.py 2026-08-18); host-side-only prefetch
+        # keeps the collate overlap without the transfer contention.
+        put_on = str(hp.get("dataloader_prefetch_put", "main"))
+        prefetcher = None
+        if depth > 0 and put_on == "worker":
+            prefetcher = Prefetcher(iter(train_dl), depth=depth, transform=prep)
+            train_iter = prefetcher
+        elif depth > 0:
+            prefetcher = Prefetcher(iter(train_dl), depth=depth)
+            train_iter = map(prep, prefetcher)
         else:
             train_iter = map(prep, iter(train_dl))
         try:
             return self._fit_loop(max_updates, train_iter, valid_dl)
         finally:
-            if isinstance(train_iter, Prefetcher):
-                train_iter.close()
+            if prefetcher is not None:
+                prefetcher.close()
 
     def _fit_loop(self, max_updates, train_iter, valid_dl):
         hp = self.hp

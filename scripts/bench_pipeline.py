@@ -91,12 +91,18 @@ def main():
     vocab = build_phone_encoder(hp0["binary_data_dir"]).vocab_size
 
     results = {}
-    for depth, label in ((0, "sync"), (2, "prefetch2")):
+    variants = (
+        (0, "main", "sync"),
+        (2, "main", "prefetch2"),  # H2D on the consumer thread
+        (2, "worker", "prefetch2_worker"),  # full overlap incl. H2D
+    )
+    for depth, put, label in variants:
         hp = load_hparams(
             overrides=dict(
                 base,
                 work_dir=os.path.join(out_dir, f"w_{label}"),
                 dataloader_prefetch=depth,
+                dataloader_prefetch_put=put,
             )
         )
         task = AuxDecoderMIDITask(hp, vocab)
@@ -114,13 +120,16 @@ def main():
         log(f"{label}: {steps - 3} steps in {dt:.2f}s -> {sps:.3f} steps/s")
 
     uplift = results["prefetch2"] / results["sync"] - 1.0
+    uplift_w = results["prefetch2_worker"] / results["sync"] - 1.0
     print(
         json.dumps(
             {
                 "metric": "train_pipeline_steps_per_second",
                 "value": round(results["prefetch2"], 3),
-                "unit": f"steps/s (fs2 fit loop, prefetch depth 2; "
-                f"sync={results['sync']:.3f}, uplift={uplift * 100:+.1f}%)",
+                "unit": f"steps/s (fs2 fit loop, prefetch depth 2, H2D on "
+                f"consumer; sync={results['sync']:.3f} "
+                f"uplift={uplift * 100:+.1f}%; worker-H2D variant="
+                f"{results['prefetch2_worker']:.3f} {uplift_w * 100:+.1f}%)",
                 "vs_baseline": round(uplift, 4),
             }
         ),

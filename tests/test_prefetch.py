@@ -117,20 +117,24 @@ def test_trainer_prefetch_equivalence(tmp_path):
     vocab = build_phone_encoder(hp0["binary_data_dir"]).vocab_size
 
     final = {}
-    for depth in (2, 0):
+    # consumer-thread H2D (default), worker-thread H2D, and synchronous
+    # feeding must all produce bit-identical trajectories
+    for depth, put in ((2, "main"), (2, "worker"), (0, "main")):
         hp = load_hparams(
             overrides=dict(
                 base,
                 dataloader_prefetch=depth,
-                work_dir=str(tmp_path / f"work{depth}"),
+                dataloader_prefetch_put=put,
+                work_dir=str(tmp_path / f"work{depth}{put}"),
             )
         )
         task = AuxDecoderMIDITask(hp, vocab)
         tr = Trainer(task, hp)
         state = tr.fit(max_updates=4)
-        final[depth] = np.asarray(
+        final[depth, put] = np.asarray(
             jax.device_get(
                 jax.tree_util.tree_leaves(state.params)[0]
             )
         )
-    np.testing.assert_array_equal(final[2], final[0])
+    np.testing.assert_array_equal(final[2, "main"], final[0, "main"])
+    np.testing.assert_array_equal(final[2, "worker"], final[0, "main"])
