@@ -117,6 +117,16 @@ class Trainer:
                 self._tb = False
         return self._tb or None
 
+    def close(self):
+        """Release the TB writer (and its event-file threads). Safe to
+        call repeatedly; a later `log` lazily reopens the writer."""
+        if self._tb:
+            try:
+                self._tb.close()
+            except Exception:
+                pass
+        self._tb = None
+
     def log(self, metrics: Dict[str, float], prefix: str = "tr"):
         if not self.is_main:
             return
@@ -185,6 +195,9 @@ class Trainer:
         finally:
             if prefetcher is not None:
                 prefetcher.close()
+            # flush + release the TB event-writer threads; long-lived
+            # callers that log after fit() reopen lazily
+            self.close()
 
     def _fit_loop(self, max_updates, train_iter, valid_dl):
         hp = self.hp
@@ -365,6 +378,36 @@ class Trainer:
             one["nsamples"] = 1
             if isinstance(one.get("item_names"), list):
                 one["item_names"] = one["item_names"][:1]
+            if hasattr(state, "batch_stats"):
+                # PE-style task: infer_step(variables, mels) -> f0 preds
+                # (eval-mode BatchNorm), no mel_out to plot — log the
+                # f0 track comparison instead
+                from bisinger_tpu.utils import plot
+                from bisinger_tpu.utils.pitch import denorm_f0
+
+                ret = infer_step(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    one["mels"],
+                )
+                f0_pred = np.asarray(
+                    jax.device_get(ret["f0_denorm_pred"])
+                )[0]
+                f0_gt = np.asarray(
+                    jax.device_get(
+                        denorm_f0(
+                            one["f0"], one.get("uv"),
+                            self.hp["pitch_norm"],
+                            use_uv=self.hp["use_uv"],
+                        )
+                    )
+                )[0]
+                tb.add_figure(
+                    "val/pe_f0_0",
+                    plot.f0_to_figure(f0_gt, f0_pred=f0_pred),
+                    self.global_step,
+                )
+                return
             ret = infer_step(state.params, one, rng)
             mel_pred = np.asarray(jax.device_get(ret["mel_out"]))[0]
             mel_gt = np.asarray(batch["mels"])[0]

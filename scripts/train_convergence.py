@@ -259,10 +259,23 @@ def main():
     log(f"diffusion stage: {summary['diffusion']}")
 
     # ---- stage 3: vocode the sampled mel -----------------------------------
+    # TC_VOC points at a trained generator checkpoint dir (e.g. the
+    # output of scripts/train_vocoder.py); TC_VOC_CHANNELS must match
+    # that generator's upsample_initial_channel. Without TC_VOC the wav
+    # is a random-vocoder plumbing artifact.
     try:
         from bisinger_tpu.vocoders.hifigan import HifiGAN
 
-        voc = HifiGAN(hp_diff)
+        voc_dir = os.environ.get("TC_VOC", "")
+        hp_voc = hp_diff
+        if voc_dir:
+            hp_voc = hp_diff.replace(
+                vocoder_ckpt=voc_dir,
+                upsample_initial_channel=int(
+                    os.environ.get("TC_VOC_CHANNELS", 128)
+                ),
+            )
+        voc = HifiGAN(hp_voc)
         ret = task2.infer_step(state2.params, val_batch, jax.random.PRNGKey(3))
         mel = np.asarray(ret["mel_out"])[0]
         f0 = np.asarray(ret.get("f0_denorm", val_batch["f0"]))[0]
@@ -272,8 +285,13 @@ def main():
         wav_path = os.path.join(out_dir, "sample.wav")
         save_wav(np.asarray(wav), wav_path, hp_diff["audio_sample_rate"])
         summary["wav"] = wav_path
-        log(f"vocoded sample -> {wav_path} (vocoder weights are untrained "
-            "unless vocoder_ckpt is set — plumbing artifact, not quality)")
+        summary["wav_vocoder_trained"] = bool(voc_dir and voc.loaded)
+        if voc_dir and not voc.loaded:
+            log(f"WARNING: TC_VOC={voc_dir} set but no checkpoint loaded")
+        log(f"vocoded sample -> {wav_path}"
+            + ("" if summary["wav_vocoder_trained"] else
+               " (vocoder weights are untrained — plumbing artifact, "
+               "not quality)"))
     except Exception as e:
         summary["wav_error"] = str(e)
         log(f"vocode step skipped: {e}")

@@ -16,6 +16,8 @@ synthetic harmonic audio, checking
 Run:  python scripts/train_vocoder.py               (CPU by default)
 Env:  TV_STEPS (400)  TV_BATCH (4)  TV_FRAMES (32)  TV_OUT (dir)
       TV_PLATFORM (cpu; axon/tpu for the chip)  TV_CHANNELS (64)
+      TV_MULTIBAND (1; 4 = train the PQMF fast mode: generator emits 4
+      subbands, discriminators/losses see the PQMF-synthesized wav)
 """
 
 import json
@@ -109,13 +111,19 @@ def main():
     from bisinger_tpu.vocoders.hifigan import HifiGAN, flatten_params
 
     os.makedirs(out_dir, exist_ok=True)
-    hp = load_hparams(
-        overrides=dict(
-            use_pitch_embed=True,  # enables the NSF source path
-            upsample_initial_channel=channels,
-            vocoder_ckpt=os.path.join(out_dir, "vocoder"),
-        )
+    overrides = dict(
+        use_pitch_embed=True,  # enables the NSF source path
+        upsample_initial_channel=channels,
+        vocoder_ckpt=os.path.join(out_dir, "vocoder"),
     )
+    multiband = int(os.environ.get("TV_MULTIBAND", 1))
+    if multiband > 1:
+        overrides.update(
+            vocoder_multiband=multiband,
+            upsample_rates=[8, 4],
+            upsample_kernel_sizes=[16, 8],
+        )
+    hp = load_hparams(overrides=overrides)
     rng_np = np.random.RandomState(0)
     clips = build_windows(hp, n_clips=12, frames=frames, rng=rng_np)
     log(f"{len(clips)} synthetic clips")
