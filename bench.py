@@ -167,9 +167,9 @@ def main():
             {"params": voc_params}, mel, f0, rngs={"nsf": jax.random.fold_in(rng, 1)}
         )
         if multiband > 1:
-            from bisinger_tpu.models.pwg import PQMF
+            from bisinger_tpu.models.pwg import pqmf_from_hparams
 
-            wav = PQMF(multiband).synthesis(wav)
+            wav = pqmf_from_hparams(hp).synthesis(wav)
         # return a scalar: fetching it to host forces real completion
         # (block_until_ready returns early on the axon tunnel platform)
         import jax.numpy as jnp

@@ -83,6 +83,13 @@ class HParams(Mapping):
     def replace(self, **updates) -> "HParams":
         new = dict(self._data)
         new.update(updates)
+        # a programmatic replace() is as deliberate as a config-file set:
+        # record provenance so default-vs-intent checks downstream (the
+        # lr=2.0 step-decay substitution in training/optim.py) honor it
+        if "_explicit_keys" in new and updates:
+            explicit = set(new.get("_explicit_keys", ()))
+            explicit.update(k for k in updates if k != "_explicit_keys")
+            new["_explicit_keys"] = tuple(sorted(explicit))
         return HParams(new)
 
     def merged(self, other: Union["HParams", Dict[str, Any]]) -> "HParams":
@@ -153,9 +160,17 @@ def _resolve_path(path: str, relative_to: Optional[str], search_roots: List[str]
 
 
 def _load_config_file(
-    path: str, search_roots: List[str], seen: Optional[set] = None
+    path: str,
+    search_roots: List[str],
+    seen: Optional[set] = None,
+    own_keys_sink: Optional[list] = None,
 ) -> Dict[str, Any]:
-    """Depth-first base_config cascade (reference `hparams.py:48-66`)."""
+    """Depth-first base_config cascade (reference `hparams.py:48-66`).
+
+    own_keys_sink: when given, receives the top-level keys written in
+    THIS file (not its bases) — the provenance input for
+    `_explicit_keys` — so load_hparams doesn't have to re-parse the
+    YAML."""
     # `seen` holds only the ancestors of this file (path-local), so diamond
     # DAGs (two bases sharing a grand-base) are allowed while true cycles
     # still raise.
@@ -166,6 +181,13 @@ def _load_config_file(
     seen = seen | {path}
     with open(path) as f:
         cfg = yaml.safe_load(f) or {}
+    if not isinstance(cfg, dict):
+        raise ValueError(
+            f"config {path!r}: top level must be a mapping, got "
+            f"{type(cfg).__name__}"
+        )
+    if own_keys_sink is not None:
+        own_keys_sink.extend(k for k in cfg.keys() if k != "base_config")
     bases = cfg.pop("base_config", [])
     if isinstance(bases, str):
         bases = [bases]
@@ -259,10 +281,9 @@ def load_hparams(
     explicit = set(cfg.get("_explicit_keys", ()))
     if config_path is not None:
         path = _resolve_path(config_path, None, roots)
-        file_cfg = _load_config_file(path, roots)
-        with open(path) as f:
-            own_keys = (yaml.safe_load(f) or {}).keys()
-        explicit.update(k for k in own_keys if k != "base_config")
+        own_keys: list = []
+        file_cfg = _load_config_file(path, roots, own_keys_sink=own_keys)
+        explicit.update(own_keys)
         cfg = _deep_merge(cfg, file_cfg)
 
     if overrides:

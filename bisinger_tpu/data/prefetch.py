@@ -82,6 +82,11 @@ class Prefetcher:
             raise StopIteration
         item = self._q.get()
         if item is _STOP:
+            # latch exhaustion: the sentinel is consumed exactly once,
+            # so without the flag a second next() would block forever on
+            # the empty queue (the iterator protocol requires repeated
+            # StopIteration after exhaustion)
+            self._stop.set()
             raise StopIteration
         if isinstance(item, BaseException):
             self._stop.set()

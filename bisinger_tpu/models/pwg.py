@@ -456,3 +456,15 @@ class PQMF:
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         return y[..., 0]
+
+
+def pqmf_from_hparams(hp):
+    """The PQMF used by the multiband fast mode, or None.
+
+    Single construction point for training (`training/vocoder_task.py`),
+    inference (`vocoders/hifigan.py`), and bench — the filterbank
+    contract (subbands from `vocoder_multiband`, default taps/cutoff)
+    must stay identical across them or training and synthesis silently
+    diverge."""
+    n = int(hp.get("vocoder_multiband", 1) or 1)
+    return PQMF(n) if n > 1 else None

@@ -87,7 +87,7 @@ def param_sharding(path_str: str, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _tp_spec(path: str, leaf) -> P:
+def _tp_spec(path: str, leaf, is_pe_tree: bool = False) -> P:
     """Megatron-style column/row-parallel rules for the framework's three
     synth-path networks. XLA propagates the shardings and inserts the
     collectives needed to keep the program correct; the rules choose
@@ -130,7 +130,14 @@ def _tp_spec(path: str, leaf) -> P:
     if "res_" in path and "/conv2_" in path:
         if path.endswith("kernel"):
             return P(None, "model", None)  # [k, C, C] row-parallel
-    if any(m in path for m in ("mel_prenet", "mel_encoder", "pitch_predictor")):
+    if any(m in path for m in ("mel_prenet", "mel_encoder")):
+        if path.endswith("kernel") and getattr(leaf, "ndim", 0) == 3:
+            return P(None, None, "model")
+    if is_pe_tree and "pitch_predictor" in path:
+        # scoped to the PE tree: the fs2 acoustic model also owns a
+        # module named pitch_predictor, and sharding that one was never
+        # designed (it would be numerically fine under GSPMD but insert
+        # un-chosen collectives around a tiny module)
         if path.endswith("kernel") and getattr(leaf, "ndim", 0) == 3:
             return P(None, None, "model")
     return P()
@@ -140,9 +147,14 @@ def tensor_parallel_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings implementing DiffNet tensor parallelism
     over the 'model' mesh axis. Use with jax.device_put(params, ...)."""
 
+    # the PE model is identified by its unique top-level modules; only
+    # there does the pitch_predictor TP rule apply (see _tp_spec)
+    top_keys = set(params.keys()) if hasattr(params, "keys") else set()
+    is_pe_tree = "mel_prenet" in top_keys or "mel_encoder" in top_keys
+
     def rule(path, leaf):
         path_str = "/".join(str(getattr(p, "key", p)) for p in path)
-        spec = _tp_spec(path_str, leaf)
+        spec = _tp_spec(path_str, leaf, is_pe_tree=is_pe_tree)
         # drop the rule if the named axis doesn't divide the dim
         n_model = mesh.shape["model"]
         for axis, name in enumerate(spec):

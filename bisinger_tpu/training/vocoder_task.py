@@ -93,11 +93,9 @@ class HifiGanTask:
         # multiband fast mode: the generator emits PQMF subbands; the
         # discriminators and losses see the PQMF-synthesized full-band
         # wav, so the rest of the GAN recipe is unchanged
-        self.pqmf = None
-        if int(hp.get("vocoder_multiband", 1)) > 1:
-            from bisinger_tpu.models.pwg import PQMF
+        from bisinger_tpu.models.pwg import pqmf_from_hparams
 
-            self.pqmf = PQMF(int(hp["vocoder_multiband"]))
+        self.pqmf = pqmf_from_hparams(hp)
 
     def init_states(self, rng, mel, f0, wav) -> Tuple[GANTrainState, GANTrainState]:
         r1, r2, r3, r4 = jax.random.split(rng, 4)

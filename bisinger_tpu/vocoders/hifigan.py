@@ -33,11 +33,9 @@ class HifiGAN(BaseVocoder):
         # multiband fast mode: the generator emits PQMF subbands at
         # sample_rate/n; synthesis back to full rate happens inside the
         # same jitted program (models/hifigan.py multiband note)
-        self.pqmf = None
-        if int(hp.get("vocoder_multiband", 1)) > 1:
-            from bisinger_tpu.models.pwg import PQMF
+        from bisinger_tpu.models.pwg import pqmf_from_hparams
 
-            self.pqmf = PQMF(int(hp["vocoder_multiband"]))
+        self.pqmf = pqmf_from_hparams(hp)
         self.loaded = params is not None
         self.params = params if params is not None else self.load_params(hp)
 
@@ -45,7 +43,16 @@ class HifiGAN(BaseVocoder):
     def load_params(self, hp: HParams):
         base_dir = hp.get("vocoder_ckpt", "")
         if base_dir and os.path.isdir(base_dir):
-            npz = sorted(glob.glob(os.path.join(base_dir, "generator_*.npz")))
+            def _step_of(p):
+                # numeric sort: lexicographic order lies for mixed-width
+                # step fields (e.g. generator_00004000 vs _000030000)
+                m = re.search(r"generator_(\d+)\.npz$", p)
+                return int(m.group(1)) if m else -1
+
+            npz = sorted(
+                glob.glob(os.path.join(base_dir, "generator_*.npz")),
+                key=_step_of,
+            )
             if npz:
                 self.loaded = True
                 return unflatten_params(dict(np.load(npz[-1], allow_pickle=False)))

@@ -45,11 +45,16 @@ def build_windows(hp, n_clips, frames, rng):
     from bisinger_tpu.utils.audio import wav2spec
 
     sr, hop = hp["audio_sample_rate"], hp["hop_size"]
+    # every clip must cover at least one `frames`-frame training window
+    # (sample_batch slices windows of exactly that many mel frames)
+    min_sec = (frames + 2) * hop / sr
     clips = []
     for i in range(n_clips):
         n_notes = rng.randint(4, 8)
         notes = np.clip(60 + np.cumsum(rng.randint(-3, 4, n_notes)), 50, 75)
         durs = rng.uniform(0.15, 0.4, n_notes)
+        if durs.sum() < min_sec:
+            durs = durs * (min_sec / durs.sum())
         wav = render_notes(list(notes), list(durs), sr, rng)
         wav_pad, mel = wav2spec(
             wav, sr, hp["fft_size"], hop, hp["win_size"],
@@ -164,7 +169,7 @@ def main():
     ckpt_dir = hp["vocoder_ckpt"]
     os.makedirs(ckpt_dir, exist_ok=True)
     flat = flatten_params(jax.device_get(gen_state.params))
-    np.savez(os.path.join(ckpt_dir, f"generator_{steps:08d}.npz"), **flat)
+    np.savez(os.path.join(ckpt_dir, f"generator_{steps:09d}.npz"), **flat)
 
     voc = HifiGAN(hp)
     assert voc.loaded, "round-trip failed: wrapper fell back to random init"

@@ -20,3 +20,23 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    with all of them kept alive, a late large compile (the diffusion
+    train step in test_training.py) segfaults inside
+    backend_compile_and_load deterministically — 4/4 full-suite runs,
+    while every module and half-suite subset passes. Freeing the
+    accumulated executables between modules keeps the JIT well under
+    that threshold (intra-module caching is preserved, so the runtime
+    cost is only cross-module recompiles that would mostly happen
+    anyway)."""
+    yield
+    jax.clear_caches()
