@@ -134,3 +134,34 @@ def test_step_decay_substitution_applies_to_shipped_cascade():
     )
     assert flagship["lr"] == 0.001 and "lr" in flagship["_explicit_keys"]
     assert abs(float(step_decay_schedule(flagship)(0)) - 0.001) < 1e-9
+
+
+def test_replace_records_provenance(tmp_path):
+    """hp.replace(lr=2.0) is as deliberate as a config-file set — the
+    replaced key must land in _explicit_keys so the step-decay lr=2.0
+    substitution (training/optim.py) does not override a programmatic
+    choice. Regression for the review finding that replace() bypassed
+    provenance entirely."""
+    from bisinger_tpu.config import load_hparams
+
+    (tmp_path / "base.yaml").write_text("lr: 2.0\n")
+    (tmp_path / "exp.yaml").write_text("base_config: base.yaml\n")
+    hp = load_hparams(str(tmp_path / "exp.yaml"))
+    assert "lr" not in hp["_explicit_keys"]
+
+    hp2 = hp.replace(lr=2.0)
+    assert "lr" in hp2["_explicit_keys"]
+    # untouched keys keep their provenance; the original is unchanged
+    assert "lr" not in hp["_explicit_keys"]
+
+
+def test_non_mapping_config_rejected(tmp_path):
+    """A YAML whose top level is a list (not a mapping) must fail with a
+    clear error, not an AttributeError deep in the merge."""
+    import pytest
+
+    from bisinger_tpu.config import load_hparams
+
+    (tmp_path / "bad.yaml").write_text("- just\n- a\n- list\n")
+    with pytest.raises(ValueError, match="top level must be a mapping"):
+        load_hparams(str(tmp_path / "bad.yaml"))

@@ -65,6 +65,16 @@ class TestPrefetcher:
         # serial would be >= 0.6; overlapped should be well under
         assert overlapped < 0.50, overlapped
 
+    def test_exhaustion_is_latched(self):
+        """A finite source raises StopIteration REPEATEDLY: the _STOP
+        sentinel is consumed exactly once, so without the latch a second
+        next() would block forever on the drained queue."""
+        p = Prefetcher(iter([1, 2]), depth=2)
+        assert list(p) == [1, 2]
+        for _ in range(3):
+            with pytest.raises(StopIteration):
+                next(p)
+
     def test_context_manager(self):
         with Prefetcher(iter([1, 2, 3]), depth=1) as it:
             assert next(it) == 1

@@ -88,3 +88,34 @@ class TestPWG:
                 c = np.corrcoef(seg, orig)[0, 1]
                 best = max(best, c)
         assert best > 0.98
+
+
+def test_generator_glob_numeric_sort(tmp_path):
+    """Mixed-width step fields must load the HIGHEST step, not the
+    lexicographically-last name (generator_00004000 vs _000030000 sorts
+    wrong as strings — review finding)."""
+    import numpy as np
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.vocoders.hifigan import HifiGAN, flatten_params
+
+    hp = load_hparams(
+        overrides=dict(
+            upsample_initial_channel=32,
+            use_pitch_embed=False,
+            vocoder_ckpt=str(tmp_path),
+        )
+    )
+    voc = HifiGAN(hp)  # random init (empty dir)
+    flat = flatten_params(voc.params)
+    # stale 8-digit step 4000 vs newer 9-digit step 30000
+    stale = {k: np.asarray(v) for k, v in flat.items()}
+    np.savez(tmp_path / "generator_00004000.npz", **stale)
+    newer = {k: np.asarray(v) + 1.0 for k, v in flat.items()}
+    np.savez(tmp_path / "generator_000030000.npz", **newer)
+
+    loaded = HifiGAN(hp)
+    assert loaded.loaded
+    got = flatten_params(loaded.params)
+    k0 = next(iter(newer))
+    np.testing.assert_allclose(np.asarray(got[k0]), newer[k0])
