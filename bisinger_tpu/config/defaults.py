@@ -189,4 +189,7 @@ DEFAULT_HPARAMS = {
     "bucket_tokens": [64, 128, 256, 512],  # static phone-length buckets
     "max_words": 128,  # static word count for word-dur loss segment-sum
     "remat": False,  # jax.checkpoint on transformer blocks
+    # long-form mode: name of the mesh axis to shard mel frames over
+    # ('' = off). Trace under `with mesh:` — see parallel/sequence.py.
+    "sequence_parallel_axis": "",
 }

@@ -402,6 +402,13 @@ class GaussianDiffusion(nn.Module):
         # conditioner projections are step-invariant: compute once, reuse
         # across all NFE (see models/diffnet.py)
         cond_proj = self.denoise_fn.cond_projections(cond)
+        # long-form mode: shard the scan carry + conditioner over the
+        # frame axis; GSPMD keeps the layout across all NFE and inserts
+        # the dilated-conv halo exchanges (parallel/sequence.py)
+        from bisinger_tpu.parallel.sequence import constrain_time
+
+        x = constrain_time(x, hp)
+        cond_proj = constrain_time(cond_proj, hp)
         x = self._dispatch_sampler(x, cond_proj, k, rng_loop)
         x = self.denorm_spec(x)
         out_mel2ph = ret["mel2ph"]

@@ -316,6 +316,13 @@ class FastSpeech2(nn.Module):
         mel2ph = self.add_dur(dur_inp, mel2ph, txt_tokens, ret, max_frames=max_frames)
 
         decoder_inp = gather_phoneme_states(encoder_out, mel2ph)
+        # long-form mode: the token->frame gather is where activations
+        # switch from token-level (replicated over 'seq') to frame-level
+        # (sharded) — constrain here so every downstream frame-level
+        # stage inherits the layout (parallel/sequence.py)
+        from bisinger_tpu.parallel.sequence import constrain_time
+
+        decoder_inp = constrain_time(decoder_inp, hp)
         decoder_inp_origin = decoder_inp
         tgt_nonpadding = (mel2ph > 0).astype(encoder_out.dtype)[:, :, None]
 

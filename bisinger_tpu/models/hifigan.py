@@ -289,6 +289,15 @@ class HifiGanGenerator(nn.Module):
                 sample_rate=hp["audio_sample_rate"], harmonic_num=8, name="m_source"
             )(f0_up, rng)  # [B, T*hop, 1]
 
+        # long-form mode: shard mel frames (and the sample-rate harmonic
+        # source) over the 'seq' mesh axis; GSPMD halo-exchanges the conv
+        # edges at every upsample/MRF stage (parallel/sequence.py)
+        from bisinger_tpu.parallel.sequence import constrain_time
+
+        mel = constrain_time(mel, hp)
+        if use_nsf:
+            har_source = constrain_time(har_source, hp)
+
         x = nn.Conv(c0, (7,), padding="SAME", dtype=dtype, name="conv_pre")(mel)
         for i, (u, k) in enumerate(zip(rates, kernels)):
             c_cur = c0 // (2 ** (i + 1))

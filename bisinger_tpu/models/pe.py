@@ -30,6 +30,10 @@ class PitchExtractor(nn.Module):
             hp["predictor_hidden"] if hp["predictor_hidden"] > 0 else hidden
         )
         ret = {}
+        # long-form mode: frame-sharded pitch extraction (parallel/sequence.py)
+        from bisinger_tpu.parallel.sequence import constrain_time
+
+        mel = constrain_time(mel, hp)
         x = Prenet(out_dim=hidden, name="mel_prenet")(mel, deterministic=deterministic)
         if self.conv_layers > 0:
             x = ConvStacks(

@@ -7,6 +7,12 @@ from bisinger_tpu.parallel.mesh import (
     shard_batch,
     tensor_parallel_shardings,
 )
+from bisinger_tpu.parallel.sequence import (
+    constrain_time,
+    make_seq_mesh,
+    shard_longform_batch,
+    time_spec,
+)
 
 __all__ = [
     "make_mesh",
@@ -16,4 +22,8 @@ __all__ = [
     "param_sharding",
     "global_batch_from_process_local",
     "tensor_parallel_shardings",
+    "make_seq_mesh",
+    "constrain_time",
+    "shard_longform_batch",
+    "time_spec",
 ]
