@@ -107,11 +107,13 @@ def main():
     # weights are random either way), quality needs multiband training.
     multiband = int(os.environ.get("BENCH_MULTIBAND", 1))
     if multiband > 1:
+        # contract: prod(upsample_rates) * n_bands == hop_size (128)
+        mb_rates = {2: [8, 4, 2], 4: [8, 4], 8: [4, 4], 16: [8]}[multiband]
         hp = hp.replace(
             vocoder_multiband=multiband,
-            upsample_rates=[8, 4],
-            upsample_kernel_sizes=[16, 8],
-            # time_fold targets narrow FULL-RATE tail stages; with 2
+            upsample_rates=mb_rates,
+            upsample_kernel_sizes=[2 * r for r in mb_rates],
+            # time_fold targets narrow FULL-RATE tail stages; with <=2
             # upsample stages the tail channels stay >=128 already
             vocoder_time_fold=int(os.environ.get("BENCH_VOC_FOLD", 0)),
         )

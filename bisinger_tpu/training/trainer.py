@@ -76,6 +76,9 @@ class Trainer:
         self.global_step = 0
         self.is_main = jax.process_index() == 0
         self._tb = None
+        # set by the SIGTERM/SIGINT handler installed around the fit
+        # loop: save-and-exit at the next step boundary (pod preemption)
+        self._preempted = False
         # persist the resolved config (reference hparams.py:98-101)
         if self.is_main:
             with open(os.path.join(self.work_dir, "config.json"), "w") as f:
@@ -190,9 +193,34 @@ class Trainer:
             train_iter = map(prep, prefetcher)
         else:
             train_iter = map(prep, iter(train_dl))
+        # Preemption safety: TPU pods get a SIGTERM + grace window on
+        # eviction. Trap it (and Ctrl-C) into a flag the step loop
+        # checks, so the run checkpoints at the next step boundary and
+        # exits cleanly instead of losing everything since the last
+        # val_check_interval. Handlers only install on the main thread
+        # (signal.signal raises elsewhere) and are restored after fit.
+        import signal
+        import threading
+
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+
+            def _on_preempt(signum, frame):
+                if not self._preempted:
+                    print(
+                        f"| caught signal {signum}: checkpointing at the "
+                        "next step boundary, then exiting",
+                        flush=True,
+                    )
+                self._preempted = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_preempt)
         try:
             return self._fit_loop(max_updates, train_iter, valid_dl)
         finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
             if prefetcher is not None:
                 prefetcher.close()
             # flush + release the TB event-writer threads; long-lived
@@ -279,6 +307,23 @@ class Trainer:
                     self.log(avg, "tr")
                     msum, mcount = None, 0
                     t0, tcount = time.time(), 0
+
+                if self._preempted:
+                    # preemption grace windows are short: skip validation,
+                    # save immediately (val_loss sentinel keeps the
+                    # keep-best tracker from ever electing this one), and
+                    # let the resume path continue from here
+                    if hp.get("save_ckpt", True):
+                        self.ckpt.save(
+                            self.global_step, jax.device_get(state),
+                            metrics={"val_loss": 1e30},
+                        )
+                        print(
+                            f"| preemption checkpoint saved at step "
+                            f"{self.global_step}",
+                            flush=True,
+                        )
+                    return state
 
                 if self.global_step % hp["val_check_interval"] == 0:
                     val_loss = self._run_validation(state, valid_dl, rng=rng)
