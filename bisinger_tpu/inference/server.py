@@ -24,8 +24,11 @@ server only does text chunking + wav encoding on the host.
 from __future__ import annotations
 
 import json
+import queue
 import struct
 import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 
@@ -100,10 +103,106 @@ document.getElementById('f').onsubmit = async (e) => {
 </script></body></html>"""
 
 
+class MicroBatcher:
+    """Cross-request micro-batching for the serving path.
+
+    Requests (or word-aligned chunks of long scores) arriving within
+    `window_ms` of each other ride ONE device program via
+    `SVSInfer.infer_batch` — the measured single-chip throughput lever
+    (BASELINE.md batch sweep: B=32 is ~2.2x the B=4 audio-s/s). A single
+    worker thread owns the device, so no lock is needed and requests
+    never interleave TPU programs.
+
+    Error isolation: if a batched program fails (e.g. one malformed
+    score makes the frontend raise), the worker retries each item alone
+    so good requests still succeed and only the bad one surfaces its
+    error. The reference has no batching server at all (its gradio app
+    is single-request, `inference/m4singer/gradio/infer.py`)."""
+
+    def __init__(
+        self,
+        infer,
+        max_batch: int = 8,
+        window_ms: float = 25.0,
+        max_words: int = 64,
+        result_timeout_s: float = 600.0,
+    ):
+        self.infer = infer
+        self.max_batch = max(1, int(max_batch))
+        self.window = max(0.0, window_ms) / 1000.0
+        self.max_words = max_words
+        self.result_timeout_s = result_timeout_s
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self.batch_sizes: List[int] = []  # observability: per-program sizes
+        self._thread = threading.Thread(
+            target=self._loop, name="svs-microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    # ---- client side ----
+    def submit_score(self, inp: Dict[str, Any]) -> np.ndarray:
+        """Blocking: chunk a (possibly long) score, submit every chunk to
+        the shared batch queue, concatenate the audio."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        chunks = split_score_chunks(inp, max_words=self.max_words)
+        futs = [Future() for _ in chunks]
+        for c, f in zip(chunks, futs):
+            self._q.put((c, f))
+        wavs = [f.result(timeout=self.result_timeout_s) for f in futs]
+        return wavs[0] if len(wavs) == 1 else np.concatenate(wavs)
+
+    # ---- worker side ----
+    def _infer_group(self, inps: List[Dict[str, Any]]) -> List[np.ndarray]:
+        if hasattr(self.infer, "infer_batch"):
+            return self.infer.infer_batch(inps)
+        return [self.infer.infer_once(i) for i in inps]
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:  # close sentinel
+                return
+            group = [item]
+            if self.max_batch > 1:
+                deadline = time.monotonic() + self.window
+                while len(group) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._q.put(None)  # re-arm close after this group
+                        break
+                    group.append(nxt)
+            self.batch_sizes.append(len(group))
+            try:
+                wavs = self._infer_group([inp for inp, _ in group])
+                for (_, fut), wav in zip(group, wavs):
+                    fut.set_result(wav)
+            except Exception:
+                # isolate: one bad score must not poison the batch
+                for inp, fut in group:
+                    try:
+                        fut.set_result(self._infer_group([inp])[0])
+                    except Exception as e:
+                        fut.set_exception(e)
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+
 class SVSRequestHandler(BaseHTTPRequestHandler):
     infer = None  # class attr set by serve()
+    batcher: Optional[MicroBatcher] = None  # set by serve()
     sample_rate = 24000
-    lock = threading.Lock()  # one TPU program at a time
+    lock = threading.Lock()  # one TPU program at a time (no-batcher path)
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -130,10 +229,15 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             inp = json.loads(self.rfile.read(n) or b"{}")
-            # ThreadingHTTPServer handles requests concurrently, but
-            # only one TPU program may run at a time — serialize
-            with self.lock:
-                wav = synthesize_chunked(self.infer, inp)
+            if self.batcher is not None:
+                # concurrent requests ride one device program; the
+                # batcher's single worker thread owns the TPU
+                wav = self.batcher.submit_score(inp)
+            else:
+                # ThreadingHTTPServer handles requests concurrently, but
+                # only one TPU program may run at a time — serialize
+                with self.lock:
+                    wav = synthesize_chunked(self.infer, inp)
             if wav.ndim != 1:
                 # pipeline returned a mel (no vocoder loaded) — don't
                 # serialize a spectrogram as PCM
@@ -157,11 +261,36 @@ def synthesize_chunked(infer, inp: Dict[str, Any], max_words: int = 64) -> np.nd
     return np.concatenate(wavs)
 
 
-def serve(infer, host: str = "127.0.0.1", port: int = 7860) -> ThreadingHTTPServer:
-    """Start the demo server (non-blocking; returns the server object)."""
+def serve(
+    infer,
+    host: str = "127.0.0.1",
+    port: int = 7860,
+    max_batch: int = 8,
+    batch_window_ms: float = 25.0,
+) -> ThreadingHTTPServer:
+    """Start the demo server (non-blocking; returns the server object).
+
+    max_batch > 1 routes requests through a `MicroBatcher` so concurrent
+    scores share one device program; max_batch=0/1 restores the serial
+    lock-per-request path."""
     SVSRequestHandler.infer = infer
     SVSRequestHandler.sample_rate = infer.hp["audio_sample_rate"]
+    SVSRequestHandler.batcher = (
+        MicroBatcher(infer, max_batch=max_batch, window_ms=batch_window_ms)
+        if max_batch and max_batch > 1
+        else None
+    )
     httpd = ThreadingHTTPServer((host, port), SVSRequestHandler)
+    # close the batcher worker when the server shuts down
+    if SVSRequestHandler.batcher is not None:
+        batcher = SVSRequestHandler.batcher
+        orig_shutdown = httpd.shutdown
+
+        def shutdown():
+            orig_shutdown()
+            batcher.close()
+
+        httpd.shutdown = shutdown
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     return httpd
@@ -202,6 +331,16 @@ def main(argv: Optional[List[str]] = None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument(
+        "--max-batch", type=int, default=8,
+        help="micro-batching: max concurrent scores per device program "
+        "(0/1 = serial)",
+    )
+    parser.add_argument(
+        "--batch-window-ms", type=float, default=25.0,
+        help="micro-batching: how long the first request waits for "
+        "companions",
+    )
     args, rest = parser.parse_known_args(argv)
     hp = set_hparams(rest)
     vocoder = None
@@ -217,7 +356,10 @@ def main(argv: Optional[List[str]] = None):
             )
             vocoder = None
     infer = SVSInfer.from_work_dir(hp, hp["work_dir"], vocoder=vocoder)
-    httpd = serve(infer, args.host, args.port)
+    httpd = serve(
+        infer, args.host, args.port,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+    )
     print(f"| serving on http://{args.host}:{args.port}")
     try:
         threading.Event().wait()
