@@ -163,9 +163,14 @@ class GaussianDiffusion(nn.Module):
             - _extract(jnp.asarray(b.sqrt_recipm1_alphas_cumprod), t, x_t.ndim) * noise
         )
 
-    def p_sample(self, x, t, cond_proj, rng, clip_denoised: bool = True):
+    def p_sample(
+        self, x, t, cond_proj, rng, clip_denoised: bool = True, denoise_fn=None
+    ):
         b = self.buffers
-        noise_pred = self.denoise_fn(x, t, cond_proj=cond_proj)
+        dn = denoise_fn or (
+            lambda xx, tt: self.denoise_fn(xx, tt, cond_proj=cond_proj)
+        )
+        noise_pred = dn(x, t)
         x_recon = self.predict_start_from_noise(x, t, noise_pred)
         if clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
@@ -180,20 +185,25 @@ class GaussianDiffusion(nn.Module):
         nonzero = (1.0 - (t == 0).astype(x.dtype)).reshape((-1,) + (1,) * (x.ndim - 1))
         return model_mean + nonzero * jnp.exp(0.5 * model_log_var) * noise
 
-    def ddpm_sample_loop(self, x, cond_proj, k: int, rng):
-        """Reverse DDPM from step k-1 down to 0 as one `lax.scan`."""
+    def ddpm_sample_loop(self, x, cond_proj, k: int, rng, denoise_fn=None):
+        """Reverse DDPM from step k-1 down to 0 as one `lax.scan`.
+        `denoise_fn(x, t)` overrides the in-module denoiser (e.g. the
+        pipeline-parallel apply from `parallel/pipeline.py`)."""
         ts = jnp.arange(k - 1, -1, -1, dtype=jnp.int32)
-        (x, _), _ = self._scan_ddpm(x, cond_proj, ts, rng)
+        (x, _), _ = self._scan_ddpm(x, cond_proj, ts, rng, denoise_fn)
         return x
 
-    def _scan_ddpm(self, x, cond_proj, ts, rng):
+    def _scan_ddpm(self, x, cond_proj, ts, rng, denoise_fn=None):
         # closing over self inside lax.scan is safe: p_sample only reads
         # params (no mutable flax state)
         def body(carry, t):
             x, rng = carry
             rng, step_rng = jax.random.split(rng)
             tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-            return (self.p_sample(x, tb, cond_proj, step_rng), rng), None
+            return (
+                self.p_sample(x, tb, cond_proj, step_rng, denoise_fn=denoise_fn),
+                rng,
+            ), None
 
         return jax.lax.scan(body, (x, rng), ts)
 
@@ -214,7 +224,7 @@ class GaussianDiffusion(nn.Module):
         )
         return x + x_delta
 
-    def plms_sample_loop(self, x, cond_proj, k: int, interval: int):
+    def plms_sample_loop(self, x, cond_proj, k: int, interval: int, denoise_fn=None):
         """PLMS (pseudo numerical methods, arXiv:2202.09778) reverse loop.
 
         Matches the reference noise-history logic
@@ -223,6 +233,9 @@ class GaussianDiffusion(nn.Module):
         fills. History rides in the scan carry (newest at index 0)."""
         ts = np.arange(0, k, interval)[::-1].copy()  # e.g. 995, 990, ..., 0
         n_steps = len(ts)
+        dn = denoise_fn or (
+            lambda xx, tt: self.denoise_fn(xx, tt, cond_proj=cond_proj)
+        )
 
         def t_batch(tv):
             return jnp.full((x.shape[0],), tv, dtype=jnp.int32)
@@ -231,9 +244,9 @@ class GaussianDiffusion(nn.Module):
         t0 = int(ts[0])
         tb = t_batch(t0)
         tb_prev = jnp.maximum(tb - interval, 0)
-        noise_pred = self.denoise_fn(x, tb, cond_proj=cond_proj)
+        noise_pred = dn(x, tb)
         x_pred = self._plms_get_x_pred(x, noise_pred, tb, tb_prev)
-        noise_pred_prev = self.denoise_fn(x_pred, tb_prev, cond_proj=cond_proj)
+        noise_pred_prev = dn(x_pred, tb_prev)
         noise_prime = (noise_pred + noise_pred_prev) / 2
         x = self._plms_get_x_pred(x, noise_prime, tb, tb_prev)
         history = jnp.stack([noise_pred] * 3)  # [3, B, T, M], newest first
@@ -246,7 +259,7 @@ class GaussianDiffusion(nn.Module):
             tv = inputs
             tb = t_batch(tv)
             tb_prev = jnp.maximum(tb - interval, 0)
-            noise_pred = self.denoise_fn(x, tb, cond_proj=cond_proj)
+            noise_pred = dn(x, tb)
             h0, h1, h2 = history[0], history[1], history[2]
             ab2 = (3 * noise_pred - h0) / 2
             ab3 = (23 * noise_pred - 16 * h0 + 5 * h1) / 12

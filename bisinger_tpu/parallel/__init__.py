@@ -7,6 +7,12 @@ from bisinger_tpu.parallel.mesh import (
     shard_batch,
     tensor_parallel_shardings,
 )
+from bisinger_tpu.parallel.pipeline import (
+    cond_projections_stacked,
+    make_pipe_mesh,
+    pipelined_denoiser,
+    split_stages,
+)
 from bisinger_tpu.parallel.sequence import (
     constrain_time,
     make_seq_mesh,
@@ -15,6 +21,10 @@ from bisinger_tpu.parallel.sequence import (
 )
 
 __all__ = [
+    "make_pipe_mesh",
+    "pipelined_denoiser",
+    "split_stages",
+    "cond_projections_stacked",
     "make_mesh",
     "shard_batch",
     "batch_sharding",
