@@ -187,6 +187,11 @@ DEFAULT_HPARAMS = {
     "compute_dtype": "bfloat16",  # activations; params/optimizer stay fp32
     "bucket_frames": [512, 1024, 2048, 4096],  # static mel-length buckets
     "bucket_tokens": [64, 128, 256, 512],  # static phone-length buckets
+    # inference batch-axis buckets: the serving micro-batcher's group
+    # size varies request-to-request, and each distinct size is a
+    # separate XLA program — pad the batch up to one of these so steady
+    # state reuses a handful of compiled programs ([] disables)
+    "bucket_batch_sizes": [1, 2, 4, 8, 16, 32, 64],
     "max_words": 128,  # static word count for word-dur loss segment-sum
     "remat": False,  # jax.checkpoint on transformer blocks
     # long-form mode: name of the mesh axis to shard mel frames over

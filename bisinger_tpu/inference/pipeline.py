@@ -83,6 +83,7 @@ class SVSInfer:
         else:
             self.pe_task = None
         self.vocoder = vocoder
+        self._fused = self._make_fused_synth()
 
     @classmethod
     def from_work_dir(cls, hp: HParams, work_dir: str, **kwargs) -> "SVSInfer":
@@ -119,6 +120,8 @@ class SVSInfer:
                         "batch_stats": pe_restored.batch_stats or {},
                     }
                     inst.pe_task = pe_task
+                    # the fused program closes over the PE task: rebuild
+                    inst._fused = inst._make_fused_synth()
             if pe_restored is None:
                 print(
                     f"| WARNING: pe_enable set but no PE checkpoint under "
@@ -176,7 +179,15 @@ class SVSInfer:
                 "bucket_tokens/bucket_frames",
                 flush=True,
             )
+        # the BATCH axis is a static shape too: under the serving
+        # micro-batcher group sizes vary request-to-request, and every
+        # distinct size would otherwise compile a fresh device program
+        # (60s+ through the TPU tunnel). Pad the batch up to a bucket
+        # size; callers already trim outputs by len(items).
         b = len(items)
+        b_buckets = self.hp.get("bucket_batch_sizes") or []
+        if b_buckets and b <= max(b_buckets):
+            b = pick_bucket(b, b_buckets)
 
         def pad1(key, dtype):
             out = np.zeros((b, t_txt), dtype)
@@ -191,8 +202,14 @@ class SVSInfer:
             "midi_dur": pad1("midi_dur", np.float32),
             "is_slur": pad1("is_slur", np.int64),
             "lang": pad1("lang", np.int64),
-            "spk_ids": np.asarray([it["spk_id"] for it in items], np.int64),
-            "speechsing": np.asarray([it["speechsing"] for it in items], np.int64),
+            "spk_ids": np.asarray(
+                [it["spk_id"] for it in items] + [0] * (b - len(items)),
+                np.int64,
+            ),
+            "speechsing": np.asarray(
+                [it["speechsing"] for it in items] + [1] * (b - len(items)),
+                np.int64,
+            ),
             "mels": np.zeros((b, t_mel, hp["audio_num_mel_bins"]), np.float32),
             "mel2ph": np.zeros((b, t_mel), np.int64),
             "f0": np.zeros((b, t_mel), np.float32),
@@ -208,10 +225,48 @@ class SVSInfer:
                     np.asarray(it.get("spk_embed", np.zeros(256)), np.float32)
                     for it in items
                 ]
+                + [np.zeros(256, np.float32)] * (b - len(items))
             )
         return batch
 
     # ---- forward ----------------------------------------------------------
+    def _make_fused_synth(self):
+        """ONE device program for score -> mel -> f0 -> wav (the shape of
+        bench.py's `synth`). The staged path (forward_model + PE +
+        spec2wav_batch) runs three programs with the mel and f0 bouncing
+        through host numpy between them — over a tunneled TPU that
+        host<->device round trip dominates serving latency. Returns None
+        when fusion can't apply (no jax vocoder, or host-side denoise
+        post-processing is configured)."""
+        voc = self.vocoder
+        if voc is None or not hasattr(voc, "_forward"):
+            return None
+        if self.hp.get("use_denoise"):
+            return None  # denoise is host-side numpy (vocoder_utils)
+        task, hp = self.task, self.hp
+        pe_task, pe_vars = self.pe_task, self.pe_params
+        use_nsf = bool(hp.get("use_nsf"))
+
+        def fused(params, voc_params, pe_vars_in, batch, rng):
+            ret = task.infer_step(params, batch, rng)  # nested jit inlines
+            mel, mel2ph = ret["mel_out"], ret["mel2ph"]
+            if pe_task is not None and pe_vars is not None:
+                f0 = pe_task.infer_step(pe_vars_in, mel)["f0_denorm_pred"]
+            elif "f0_denorm" in ret:
+                f0 = ret["f0_denorm"]
+            else:
+                # match the staged fallback (zeros -> NSF runs unvoiced)
+                f0 = jnp.zeros(mel.shape[:2], jnp.float32)
+            if use_nsf:
+                wav = voc._forward(
+                    voc_params, mel, f0, jax.random.fold_in(rng, 1)
+                )
+            else:
+                wav = voc._forward_no_f0(voc_params, mel)
+            return wav, mel, mel2ph
+
+        return jax.jit(fused)
+
     def forward_model(self, batch: Dict[str, Any], rng=None) -> Dict[str, Any]:
         assert self.params is not None, "no diffusion params loaded"
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -240,6 +295,8 @@ class SVSInfer:
         return out
 
     def infer_once(self, inp: Dict[str, Any], rng=None) -> np.ndarray:
+        if self._fused is not None:
+            return self.infer_batch([inp], rng)[0]
         item = self.frontend(inp, self.spk_map)
         batch = self.items_to_batch([item])
         out = self.forward_model(batch, rng)
@@ -261,6 +318,21 @@ class SVSInfer:
         lever, see BASELINE.md)."""
         items = [self.frontend(inp, self.spk_map) for inp in inputs]
         batch = self.items_to_batch(items)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if self._fused is not None:
+            assert self.params is not None, "no diffusion params loaded"
+            wav_d, _, mel2ph_d = self._fused(
+                self.params, self.vocoder.params, self.pe_params,
+                device_batch(batch), rng,
+            )
+            # one host fetch for the whole batch
+            wavs = np.asarray(wav_d, np.float32)
+            mel2ph = np.asarray(mel2ph_d)
+            hop = self.hp["hop_size"]
+            return [
+                wavs[b][: max(int((mel2ph[b] > 0).sum()), 1) * hop]
+                for b in range(len(items))
+            ]
         out = self.forward_model(batch, rng)
         n_frames = [
             max(int((out["mel2ph"][b] > 0).sum()), 1) for b in range(len(items))
@@ -272,7 +344,9 @@ class SVSInfer:
             f0s = out.get("f0_pred")
             if f0s is None:
                 f0s = np.zeros(out["mel_out"].shape[:2], np.float32)
-            wavs = self.vocoder.spec2wav_batch(out["mel_out"], f0s)
+            wavs = self.vocoder.spec2wav_batch(
+                out["mel_out"], f0s, rng=jax.random.fold_in(rng, 1)
+            )
             hop = self.hp["hop_size"]
             return [wavs[b][: n_frames[b] * hop] for b in range(len(items))]
         return [out["mel_out"][b][: n_frames[b]] for b in range(len(items))]
