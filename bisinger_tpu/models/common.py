@@ -10,7 +10,7 @@ built as constants at trace time (XLA folds them).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +19,18 @@ from flax import linen as nn
 
 xavier_uniform = nn.initializers.xavier_uniform()
 zeros_init = nn.initializers.zeros
+
+
+def compute_dtype(hp) -> Any:
+    """Activation dtype from hparams (`compute_dtype: bfloat16|float32`).
+
+    Mixed-precision contract (SURVEY §7.3: train bf16 with fp32
+    accumulations): params, optimizer state, losses and module *outputs*
+    stay fp32; only the activations inside the heavy stacks (attention,
+    conv-FFN, predictor convs) run in bf16. MXU matmuls accumulate fp32
+    regardless; softmax/LayerNorm/BatchNorm/GroupNorm statistics are
+    computed in fp32 explicitly."""
+    return jnp.bfloat16 if hp.get("compute_dtype") == "bfloat16" else jnp.float32
 
 
 class Embedding(nn.Module):
@@ -101,6 +113,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     bias: bool = True
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None, deterministic=True):
@@ -108,7 +121,8 @@ class MultiHeadAttention(nn.Module):
         h = self.num_heads
         head_dim = d // h
         proj = lambda name: nn.Dense(
-            d, use_bias=self.bias, kernel_init=xavier_uniform, name=name
+            d, use_bias=self.bias, kernel_init=xavier_uniform, dtype=self.dtype,
+            name=name,
         )
         q = proj("q_proj")(query) * head_dim ** -0.5
         k = proj("k_proj")(key)
@@ -118,16 +132,23 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(x.shape[0], x.shape[1], h, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)  # [B, h, T, hd]
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        # logits accumulate in fp32 so the softmax is numerically fp32
+        # even when q/k are bf16 (MXU accumulates fp32 either way)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
         if key_padding_mask is not None:
             neg = jnp.finfo(logits.dtype).min
             logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
-        weights = jax.nn.softmax(logits, axis=-1)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         if self.dropout > 0.0 and not deterministic:
             weights = nn.Dropout(self.dropout)(weights, deterministic=False)
         out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(query.shape[0], query.shape[1], d)
-        return nn.Dense(d, use_bias=self.bias, kernel_init=xavier_uniform, name="out_proj")(out)
+        return nn.Dense(
+            d, use_bias=self.bias, kernel_init=xavier_uniform, dtype=self.dtype,
+            name="out_proj",
+        )(out)
 
 
 class TransformerFFN(nn.Module):
@@ -140,14 +161,21 @@ class TransformerFFN(nn.Module):
     padding: str = "SAME"
     dropout: float = 0.0
     act: str = "gelu"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         if self.padding == "SAME":
-            x = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME")(x)
+            x = nn.Conv(
+                self.filter_size, (self.kernel_size,), padding="SAME",
+                dtype=self.dtype,
+            )(x)
         else:  # LEFT / causal
             x = jnp.pad(x, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
-            x = nn.Conv(self.filter_size, (self.kernel_size,), padding="VALID")(x)
+            x = nn.Conv(
+                self.filter_size, (self.kernel_size,), padding="VALID",
+                dtype=self.dtype,
+            )(x)
         x = x * self.kernel_size ** -0.5
         if self.act == "gelu":
             x = jax.nn.gelu(x)
@@ -156,7 +184,7 @@ class TransformerFFN(nn.Module):
         elif self.act == "swish":
             x = jax.nn.silu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.hidden_size, kernel_init=xavier_uniform)(x)
+        x = nn.Dense(self.hidden_size, kernel_init=xavier_uniform, dtype=self.dtype)(x)
         return x
 
 
@@ -173,9 +201,12 @@ class EncSALayer(nn.Module):
     kernel_size: int = 9
     padding: str = "SAME"
     act: str = "gelu"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, padding_mask, deterministic=True):
+        # LayerNorms compute in fp32 (params are fp32, flax promotes); the
+        # MHA/FFN input projections cast back down to self.dtype.
         nonpad = 1.0 - padding_mask.astype(x.dtype)[:, :, None]
         if self.num_heads > 0:
             residual = x
@@ -184,6 +215,7 @@ class EncSALayer(nn.Module):
                 num_heads=self.num_heads,
                 bias=False,
                 dropout=self.attention_dropout,
+                dtype=self.dtype,
                 name="self_attn",
             )(y, y, y, key_padding_mask=padding_mask, deterministic=deterministic)
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
@@ -197,6 +229,7 @@ class EncSALayer(nn.Module):
             padding=self.padding,
             dropout=self.relu_dropout,
             act=self.act,
+            dtype=self.dtype,
             name="ffn",
         )(y, deterministic=deterministic)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
@@ -225,11 +258,14 @@ class ESM(nn.Module):
     hidden_size: int
     num_heads: int = 8
     cross_batch: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, eo, lp, deterministic=True):
         lp_norm = nn.LayerNorm(epsilon=1e-5, name="ln1")(lp)
-        mh = MultiHeadAttention(num_heads=self.num_heads, bias=True, name="mh")
+        mh = MultiHeadAttention(
+            num_heads=self.num_heads, bias=True, dtype=self.dtype, name="mh"
+        )
         if self.cross_batch:
             # reference semantics: attend over axis 0. Our MHA attends
             # over axis 1, so swap (B, T) -> (T, B), attend, swap back.
@@ -243,9 +279,15 @@ class ESM(nn.Module):
             mo = mh(eo, lp_norm, lp_norm, deterministic=deterministic)
         mo = mo + lp
         y = nn.LayerNorm(epsilon=1e-5, name="ln2")(mo)
-        y = nn.Dense(self.hidden_size, kernel_init=xavier_uniform, name="ffn1")(y)
+        y = nn.Dense(
+            self.hidden_size, kernel_init=xavier_uniform, dtype=self.dtype,
+            name="ffn1",
+        )(y)
         y = jax.nn.relu(y)
-        y = nn.Dense(self.hidden_size, kernel_init=xavier_uniform, name="ffn2")(y)
+        y = nn.Dense(
+            self.hidden_size, kernel_init=xavier_uniform, dtype=self.dtype,
+            name="ffn2",
+        )(y)
         return y + mo
 
 
@@ -263,18 +305,23 @@ class FFTBlocks(nn.Module):
     padding: str = "SAME"
     act: str = "gelu"
     remat: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, padding_mask=None, deterministic=True):
         if padding_mask is None:
             padding_mask = jnp.abs(x).sum(-1) == 0
+        # activations run in self.dtype inside the stack; the output is
+        # cast back to fp32 so callers (heads, losses) stay full precision
+        out_dtype = x.dtype
+        x = x.astype(self.dtype)
         nonpad = 1.0 - padding_mask.astype(x.dtype)[:, :, None]
         if self.use_pos_embed:
             alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,))
             positions = alpha * sinusoidal_positions(
                 1 - padding_mask.astype(jnp.int32), self.hidden_size
             )
-            x = x + positions
+            x = x + positions.astype(self.dtype)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = x * nonpad
         block = EncSALayer
@@ -290,8 +337,9 @@ class FFTBlocks(nn.Module):
                 kernel_size=self.ffn_kernel_size,
                 padding=self.padding,
                 act=self.act,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, padding_mask, deterministic) * nonpad
         if self.use_last_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x) * nonpad
-        return x
+        return x.astype(out_dtype)

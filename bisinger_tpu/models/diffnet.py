@@ -234,6 +234,10 @@ class FFTDenoiser(nn.Module):
             use_pos_embed=True,
             padding=hp["ffn_padding"],
             act=hp["ffn_act"],
+            dtype=(
+                jnp.bfloat16 if hp.get("compute_dtype") == "bfloat16"
+                else jnp.float32
+            ),
             name="decoder",
         )
         self.get_mel_out = nn.Dense(self.in_dims, name="get_mel_out")

@@ -29,6 +29,7 @@ from bisinger_tpu.models.common import (
     ESM,
     Embedding,
     FFTBlocks,
+    compute_dtype,
     rel_positional_encoding,
     sinusoidal_positions,
 )
@@ -64,6 +65,11 @@ class FastSpeech2(nn.Module):
     def _setup_core(self):
         hp = self.hp
         h = hp["hidden_size"]
+        # mixed precision: activations inside the heavy stacks run in
+        # `compute_dtype` (default bf16 on TPU); params, module outputs
+        # and every loss stay fp32 (SURVEY §7.3)
+        dtype = compute_dtype(hp)
+        self.compute_dtype = dtype
         self.token_embed = Embedding(self.vocab_size, h, self.padding_idx, name="token_embed")
         self.encoder = FFTBlocks(
             hidden_size=h,
@@ -75,6 +81,7 @@ class FastSpeech2(nn.Module):
             padding=hp["ffn_padding"],
             act=hp["ffn_act"],
             remat=hp.get("remat", False),
+            dtype=dtype,
             name="encoder",
         )
         self.decoder = FFTBlocks(
@@ -87,6 +94,7 @@ class FastSpeech2(nn.Module):
             padding=hp["ffn_padding"],
             act=hp["ffn_act"],
             remat=hp.get("remat", False),
+            dtype=dtype,
             name="decoder",
         )
         out_dims = self.out_dims or hp["audio_num_mel_bins"]
@@ -104,6 +112,7 @@ class FastSpeech2(nn.Module):
             dropout=hp["predictor_dropout"],
             padding=hp["ffn_padding"],
             odims=dur_odims,
+            dtype=dtype,
             name="dur_predictor",
         )
         if hp["use_spk_id"]:
@@ -123,6 +132,7 @@ class FastSpeech2(nn.Module):
                     kernel_size=hp["predictor_kernel"],
                     dropout=hp["predictor_dropout"],
                     padding=hp["ffn_padding"],
+                    dtype=dtype,
                     name="pitch_predictor",
                 )
             elif hp["pitch_type"] == "cwt":
@@ -137,6 +147,7 @@ class FastSpeech2(nn.Module):
                     kernel_size=hp["predictor_kernel"],
                     dropout=hp["predictor_dropout"],
                     padding=hp["ffn_padding"],
+                    dtype=dtype,
                     name="cwt_predictor",
                 )
                 ch = hp["cwt_hidden_size"]
@@ -154,6 +165,7 @@ class FastSpeech2(nn.Module):
                 kernel_size=hp["predictor_kernel"],
                 dropout=hp["predictor_dropout"],
                 padding=hp["ffn_padding"],
+                dtype=dtype,
                 name="energy_predictor",
             )
 
@@ -376,6 +388,7 @@ class FastSpeech2MIDI(FastSpeech2):
                 hidden_size=h,
                 num_heads=8,
                 cross_batch=self.hp.get("esm_cross_batch", True),
+                dtype=self.compute_dtype,
                 name="esm",
             )
             self.lang_embed = Embedding(2, h, name="lang_embed")

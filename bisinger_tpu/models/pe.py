@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bisinger_tpu.config import HParams
+from bisinger_tpu.models.common import compute_dtype
 from bisinger_tpu.models.predictors import ConvStacks, PitchPredictor, Prenet
 from bisinger_tpu.utils.pitch import denorm_f0
 
@@ -34,10 +35,14 @@ class PitchExtractor(nn.Module):
         from bisinger_tpu.parallel.sequence import constrain_time
 
         mel = constrain_time(mel, hp)
-        x = Prenet(out_dim=hidden, name="mel_prenet")(mel, deterministic=deterministic)
+        dtype = compute_dtype(hp)
+        x = Prenet(out_dim=hidden, dtype=dtype, name="mel_prenet")(
+            mel, deterministic=deterministic
+        )
         if self.conv_layers > 0:
             x = ConvStacks(
-                n_layers=self.conv_layers, n_chans=hidden, odim=hidden, name="mel_encoder"
+                n_layers=self.conv_layers, n_chans=hidden, odim=hidden,
+                dtype=dtype, name="mel_encoder",
             )(x, deterministic=deterministic)
         pitch_pred = PitchPredictor(
             n_layers=5,
@@ -46,6 +51,7 @@ class PitchExtractor(nn.Module):
             kernel_size=hp["predictor_kernel"],
             dropout=0.5,
             padding=hp["ffn_padding"],
+            dtype=dtype,
             name="pitch_predictor",
         )(x, deterministic=deterministic)
         ret["pitch_pred"] = pitch_pred

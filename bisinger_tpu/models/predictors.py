@@ -8,7 +8,7 @@ stacks are plain `nn.Conv` (XLA fuses the elementwise tail into the conv).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,14 +27,22 @@ class ConvReluLN(nn.Module):
     kernel_size: int
     dropout: float
     padding: str = "SAME"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
+        # conv in self.dtype; the LayerNorm promotes back to fp32
         if self.padding == "SAME":
-            x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME")(x)
+            x = nn.Conv(
+                self.channels, (self.kernel_size,), padding="SAME",
+                dtype=self.dtype,
+            )(x)
         else:  # LEFT
             x = jnp.pad(x, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
-            x = nn.Conv(self.channels, (self.kernel_size,), padding="VALID")(x)
+            x = nn.Conv(
+                self.channels, (self.kernel_size,), padding="VALID",
+                dtype=self.dtype,
+            )(x)
         x = jax.nn.relu(x)
         x = nn.LayerNorm(epsilon=1e-12)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -53,6 +61,7 @@ class DurationPredictor(nn.Module):
     offset: float = 1.0
     padding: str = "SAME"
     odims: int = 1
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.convs = [
@@ -61,6 +70,7 @@ class DurationPredictor(nn.Module):
                 kernel_size=self.kernel_size,
                 dropout=self.dropout,
                 padding=self.padding,
+                dtype=self.dtype,
                 name=f"conv_{i}",
             )
             for i in range(self.n_layers)
@@ -210,6 +220,7 @@ class PitchPredictor(nn.Module):
     kernel_size: int = 5
     dropout: float = 0.1
     padding: str = "SAME"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -222,8 +233,10 @@ class PitchPredictor(nn.Module):
                 kernel_size=self.kernel_size,
                 dropout=self.dropout,
                 padding=self.padding,
+                dtype=self.dtype,
                 name=f"conv_{i}",
             )(x, deterministic=deterministic)
+        # head stays fp32 (ConvReluLN's LayerNorm already promoted back)
         return nn.Dense(self.odim, name="linear")(x)
 
 
@@ -242,13 +255,17 @@ class Prenet(nn.Module):
     out_dim: int = 256
     kernel: int = 5
     n_layers: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         padding_mask = jnp.abs(x).sum(-1) == 0
         nonpad = 1.0 - padding_mask.astype(x.dtype)[:, :, None]
         for i in range(self.n_layers):
-            x = nn.Conv(self.out_dim, (self.kernel,), padding="SAME", name=f"conv_{i}")(x)
+            x = nn.Conv(
+                self.out_dim, (self.kernel,), padding="SAME", dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
             x = jax.nn.relu(x)
             # torch BatchNorm1d defaults: momentum 0.1 (flax convention:
             # running = m*running + (1-m)*new -> 0.9), eps 1e-5
@@ -272,12 +289,19 @@ class ConvStacks(nn.Module):
     odim: int = 256
     kernel_size: int = 5
     res: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        x = nn.Dense(self.n_chans, kernel_init=xavier_uniform, name="in_proj")(x)
+        x = nn.Dense(
+            self.n_chans, kernel_init=xavier_uniform, dtype=self.dtype,
+            name="in_proj",
+        )(x)
         for i in range(self.n_layers):
-            y = nn.Conv(self.n_chans, (self.kernel_size,), padding="SAME", name=f"conv_{i}")(x)
+            y = nn.Conv(
+                self.n_chans, (self.kernel_size,), padding="SAME",
+                dtype=self.dtype, name=f"conv_{i}",
+            )(x)
             y = nn.GroupNorm(num_groups=self.n_chans // 16, name=f"norm_{i}")(y)
             y = jax.nn.relu(y)
             x = x + y if self.res else y

@@ -50,7 +50,9 @@ def test_golden_fs2_forward():
     from bisinger_tpu.training.tasks import AuxDecoderMIDITask
 
     g = _load("fs2_forward.npz")
-    hp = _tiny_hp()
+    # the fixture was recorded with fp32 activations; pin the dtype so the
+    # golden locks fp32 semantics regardless of the production default
+    hp = _tiny_hp().replace(compute_dtype="float32")
     task = AuxDecoderMIDITask(hp, 32)
     batch = _batch(2, 16, 64, 32)
     state = task.init_state(jax.random.PRNGKey(0), batch)
