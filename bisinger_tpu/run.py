@@ -24,6 +24,20 @@ import sys
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 
+def _honor_jax_platforms_env():
+    """Make `JAX_PLATFORMS=cpu python -m bisinger_tpu.run ...` actually
+    run on CPU: a sitecustomize that registers an out-of-tree backend
+    (e.g. the axon TPU plugin) may force its platform via jax.config at
+    interpreter start, AFTER the env var was read — silently sending a
+    'CPU' run through the TPU tunnel. The user's env var wins here."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        import jax
+
+        if str(jax.config.jax_platforms or "") != env:
+            jax.config.update("jax_platforms", env)
+
+
 TASK_ALIASES = {
     # reference task_cls names -> this framework's tasks
     "usr.diffsinger_task.DiffSingerMIDITask": "bisinger_tpu.training.tasks.DiffSingerMIDITask",
@@ -61,6 +75,7 @@ def resolve_binarizer_cls(path: str):
 
 
 def main(argv=None):
+    _honor_jax_platforms_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="")
     parser.add_argument("--exp_name", type=str, default="default")
