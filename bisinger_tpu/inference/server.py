@@ -14,8 +14,10 @@ doubles as a minimal serving endpoint:
   GET  /            -> HTML demo page
   GET  /health      -> {"status": "ok"}
   POST /synthesize  -> body {"text", "notes", "notes_duration",
-                            "spk_name"?, "bpm"?}
-                       response: audio/wav bytes
+                            "spk_name"?, "bpm"?, "stream"?}
+                       response: audio/wav bytes; with "stream": true,
+                       chunked-transfer WAV whose PCM arrives chunk by
+                       chunk (first audio after the first score chunk)
 
 Synthesis itself stays on the jit-compiled `SVSInfer` pipeline; the
 server only does text chunking + wav encoding on the host.
@@ -23,6 +25,7 @@ server only does text chunking + wav encoding on the host.
 
 from __future__ import annotations
 
+import itertools
 import json
 import queue
 import struct
@@ -68,6 +71,20 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
     hdr += b"data" + struct.pack("<I", len(pcm))
     return hdr + pcm
+
+
+def pcm16_bytes(wav: np.ndarray) -> bytes:
+    """float32 [-1,1] -> raw 16-bit PCM (no container)."""
+    return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+def wav_stream_header(sr: int) -> bytes:
+    """WAV header for a stream of unknown length: RIFF/data sizes are
+    0xFFFFFFFF, the streaming convention players treat as read-to-EOF."""
+    hdr = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", 0xFFFFFFFF)
+    return hdr
 
 
 _PAGE = """<!doctype html><html><head><meta charset="utf-8">
@@ -153,6 +170,36 @@ class MicroBatcher:
         wavs = [f.result(timeout=self.result_timeout_s) for f in futs]
         return wavs[0] if len(wavs) == 1 else np.concatenate(wavs)
 
+    def stream_score(self, inp: Dict[str, Any]):
+        """Streaming synthesis: yield each chunk's audio as it finishes,
+        in score order.
+
+        Time-to-first-audio optimization for long scores: chunk 0 is
+        submitted ALONE and yielded the moment it completes (one small
+        device program), and only then are the remaining chunks enqueued
+        — otherwise the batcher's coalescing window would fold the whole
+        score into one program and the first byte would wait for all of
+        it. The tail chunks ride one batched program while chunk 0 is
+        already playing (a `max_words`-word chunk plays for tens of
+        seconds — far longer than the tail takes to synthesize), so the
+        stream never starves. Total wall time is slightly higher than
+        `submit_score` (two programs instead of one); first-audio
+        latency is ~1/n_chunks of it. The audio is bit-identical to the
+        non-streamed path's chunks."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        chunks = split_score_chunks(inp, max_words=self.max_words)
+        head = Future()
+        self._q.put((chunks[0], head))
+        yield head.result(timeout=self.result_timeout_s)
+        if len(chunks) == 1:
+            return
+        futs = [Future() for _ in chunks[1:]]
+        for c, f in zip(chunks[1:], futs):
+            self._q.put((c, f))
+        for f in futs:
+            yield f.result(timeout=self.result_timeout_s)
+
     # ---- worker side ----
     def _infer_group(self, inps: List[Dict[str, Any]]) -> List[np.ndarray]:
         if hasattr(self.infer, "infer_batch"):
@@ -202,7 +249,10 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
     infer = None  # class attr set by serve()
     batcher: Optional[MicroBatcher] = None  # set by serve()
     sample_rate = 24000
+    max_words = 64  # score-chunking granularity, set by serve()
     lock = threading.Lock()  # one TPU program at a time (no-batcher path)
+    # HTTP/1.1 so streaming responses can use chunked transfer encoding
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -213,6 +263,24 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _send_stream(self, pieces):
+        """Chunked-transfer audio/wav: a streaming WAV header, then each
+        synthesized chunk's PCM the moment it is ready."""
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def write_chunk(data: bytes):
+            if data:
+                self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+                self.wfile.flush()
+
+        write_chunk(wav_stream_header(self.sample_rate))
+        for wav in pieces:
+            write_chunk(pcm16_bytes(wav))
+        self.wfile.write(b"0\r\n\r\n")
 
     def do_GET(self):
         if self.path == "/health":
@@ -226,9 +294,35 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
         if self.path != "/synthesize":
             self._send(404, b"not found", "text/plain")
             return
+        streaming_started = False
         try:
             n = int(self.headers.get("Content-Length", 0))
             inp = json.loads(self.rfile.read(n) or b"{}")
+            if inp.pop("stream", False):
+                # streaming mode: chunked transfer, first audio after the
+                # first score chunk instead of after the whole score
+                if self.batcher is not None:
+                    pieces = self.batcher.stream_score(inp)
+                else:
+                    pieces = self._serial_stream(inp)
+
+                def checked(gen):
+                    for wav in gen:
+                        if wav.ndim != 1:
+                            raise ValueError(
+                                "no vocoder configured (set vocoder_ckpt)"
+                            )
+                        yield wav
+
+                gen = checked(pieces)
+                # pull the first chunk BEFORE sending headers so an error
+                # in it still surfaces as a clean 400 (after the first
+                # byte the 200 is committed and errors truncate the
+                # chunked stream instead)
+                head = list(itertools.islice(gen, 1))
+                streaming_started = True
+                self._send_stream(itertools.chain(head, gen))
+                return
             if self.batcher is not None:
                 # concurrent requests ride one device program; the
                 # batcher's single worker thread owns the TPU
@@ -237,7 +331,9 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
                 # ThreadingHTTPServer handles requests concurrently, but
                 # only one TPU program may run at a time — serialize
                 with self.lock:
-                    wav = synthesize_chunked(self.infer, inp)
+                    wav = synthesize_chunked(
+                        self.infer, inp, max_words=self.max_words
+                    )
             if wav.ndim != 1:
                 # pipeline returned a mel (no vocoder loaded) — don't
                 # serialize a spectrogram as PCM
@@ -248,7 +344,19 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
                 return
             self._send(200, wav_bytes(wav, self.sample_rate), "audio/wav")
         except Exception as e:  # surfacing the error to the UI
+            if streaming_started:
+                # headers are gone; truncate the chunked stream so the
+                # client sees a hard error instead of silent silence
+                self.close_connection = True
+                return
             self._send(400, f"error: {e}".encode(), "text/plain")
+
+    def _serial_stream(self, inp: Dict[str, Any]):
+        """No-batcher streaming: synthesize chunk-by-chunk under the
+        device lock, yielding each wav as it is produced."""
+        for c in split_score_chunks(inp, max_words=self.max_words):
+            with self.lock:
+                yield self.infer.infer_once(c)
 
 
 def synthesize_chunked(infer, inp: Dict[str, Any], max_words: int = 64) -> np.ndarray:
@@ -267,16 +375,22 @@ def serve(
     port: int = 7860,
     max_batch: int = 8,
     batch_window_ms: float = 25.0,
+    max_words: int = 64,
 ) -> ThreadingHTTPServer:
     """Start the demo server (non-blocking; returns the server object).
 
     max_batch > 1 routes requests through a `MicroBatcher` so concurrent
     scores share one device program; max_batch=0/1 restores the serial
-    lock-per-request path."""
+    lock-per-request path. max_words is the word-aligned score-chunking
+    granularity (reference `gradio/infer.py:36-60`)."""
     SVSRequestHandler.infer = infer
     SVSRequestHandler.sample_rate = infer.hp["audio_sample_rate"]
+    SVSRequestHandler.max_words = max_words
     SVSRequestHandler.batcher = (
-        MicroBatcher(infer, max_batch=max_batch, window_ms=batch_window_ms)
+        MicroBatcher(
+            infer, max_batch=max_batch, window_ms=batch_window_ms,
+            max_words=max_words,
+        )
         if max_batch and max_batch > 1
         else None
     )
