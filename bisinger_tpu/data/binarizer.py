@@ -17,8 +17,10 @@ record format:
     `<prefix>_f0s_mean_std.npy`, plus `phone_set.json` and `spk_map.json`.
 
 f0 extraction uses parselmouth (Praat autocorrelation) when available —
-matching the reference — and falls back to a numpy autocorrelation
-tracker (approximate; fine for synthetic corpora and CI).
+matching the reference — and otherwise the framework's own
+implementation of the same Praat AC algorithm
+(`bisinger_tpu/utils/praat_pitch.py`, Boersma 1993: normalized AC with
+window-AC division, octave-cost candidates, Viterbi path search).
 """
 
 from __future__ import annotations
@@ -73,9 +75,39 @@ def extract_f0_parselmouth(wav: np.ndarray, n_frames: int, hp: HParams) -> np.nd
     return f0[:n_frames].astype(np.float32)
 
 
+def extract_f0_praat_ac(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
+    """Own implementation of the Praat AC algorithm (Boersma 1993) —
+    same parameters and frame alignment as `extract_f0_parselmouth`
+    (reference `data_gen_utils.py:152-186`), no parselmouth needed.
+    See `bisinger_tpu/utils/praat_pitch.py` for algorithm notes."""
+    from bisinger_tpu.utils.praat_pitch import praat_pitch_ac
+
+    hop = hp["hop_size"]
+    sr = hp["audio_sample_rate"]
+    f0 = praat_pitch_ac(
+        wav,
+        sr,
+        time_step=hop / sr,
+        voicing_threshold=0.6,
+        pitch_floor=80.0,
+        pitch_ceiling=750.0,
+    )
+    pad_size = 4 if hop == 128 else 2
+    lpad = pad_size * 2
+    rpad = n_frames - len(f0) - lpad
+    f0 = np.pad(f0, (lpad, max(rpad, 0)))
+    delta = n_frames - len(f0)
+    if delta > 0:
+        f0 = np.concatenate([f0, [f0[-1]] * delta])
+    return f0[:n_frames].astype(np.float32)
+
+
 def extract_f0_autocorr(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
-    """Numpy fallback pitch tracker: windowed normalized autocorrelation
-    peak within [80, 750] Hz, energy-gated voicing."""
+    """Numpy quick-and-dirty pitch tracker: windowed normalized
+    autocorrelation peak within [80, 750] Hz, energy-gated voicing. Kept
+    only as an explicit `pitch_extractor: autocorr` option (it is ~3x
+    faster than the Praat tracker but octave-unstable); the default
+    fallback is `extract_f0_praat_ac`."""
     hop = hp["hop_size"]
     sr = hp["audio_sample_rate"]
     win = 1024
@@ -176,18 +208,21 @@ def _warn_fallback(key: str, msg: str):
 
 
 def extract_f0(wav: np.ndarray, n_frames: int, hp: HParams) -> np.ndarray:
-    if hp.get("pitch_extractor", "parselmouth") == "parselmouth":
+    extractor = hp.get("pitch_extractor", "parselmouth")
+    if extractor == "autocorr":
+        return extract_f0_autocorr(wav, n_frames, hp)
+    if extractor == "parselmouth":
         try:
             return extract_f0_parselmouth(wav, n_frames, hp)
         except ImportError:
             _warn_fallback(
                 "f0",
-                "parselmouth not installed — falling back to the numpy "
-                "autocorrelation pitch tracker (APPROXIMATE: octave errors "
-                "and voicing flips vs Praat are expected; do not binarize "
-                "a production corpus this way)",
+                "parselmouth not installed — using the built-in Praat-AC "
+                "tracker (same Boersma-1993 algorithm and parameters, own "
+                "implementation; contours are algorithm-equivalent but not "
+                "bit-identical to Praat)",
             )
-    return extract_f0_autocorr(wav, n_frames, hp)
+    return extract_f0_praat_ac(wav, n_frames, hp)
 
 
 def derive_word_boundary(phs: List[str]) -> List[int]:
