@@ -120,6 +120,14 @@ document.getElementById('f').onsubmit = async (e) => {
 </script></body></html>"""
 
 
+class QueueFullError(RuntimeError):
+    """Admission rejected: the batcher's pending queue is at capacity.
+
+    Mapped to HTTP 503 + Retry-After by the handler — bounded admission
+    keeps overload from growing the queue (and every request's latency)
+    without limit (round-4 verdict #5: admission used to be unbounded)."""
+
+
 class MicroBatcher:
     """Cross-request micro-batching for the serving path.
 
@@ -143,12 +151,19 @@ class MicroBatcher:
         window_ms: float = 25.0,
         max_words: int = 64,
         result_timeout_s: float = 600.0,
+        max_queue: int = 128,
     ):
         self.infer = infer
         self.max_batch = max(1, int(max_batch))
         self.window = max(0.0, window_ms) / 1000.0
         self.max_words = max_words
         self.result_timeout_s = result_timeout_s
+        # backpressure: max score-CHUNKS admitted but not yet picked up
+        # by the worker (0 = unbounded). A multi-chunk score is admitted
+        # atomically — all chunks or a QueueFullError, never a partial
+        # enqueue that would leave dangling futures.
+        self.max_queue = max(0, int(max_queue))
+        self._admit_lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self.batch_sizes: List[int] = []  # observability: per-program sizes
@@ -165,8 +180,7 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         chunks = split_score_chunks(inp, max_words=self.max_words)
         futs = [Future() for _ in chunks]
-        for c, f in zip(chunks, futs):
-            self._q.put((c, f))
+        self._admit(list(zip(chunks, futs)))
         wavs = [f.result(timeout=self.result_timeout_s) for f in futs]
         return wavs[0] if len(wavs) == 1 else np.concatenate(wavs)
 
@@ -190,7 +204,10 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         chunks = split_score_chunks(inp, max_words=self.max_words)
         head = Future()
-        self._q.put((chunks[0], head))
+        # admit the WHOLE score's chunk count up front so a stream that
+        # starts always finishes (rejecting tail chunks mid-stream would
+        # truncate audio already promised to the client)
+        self._admit([(chunks[0], head)], reserve=len(chunks))
         yield head.result(timeout=self.result_timeout_s)
         if len(chunks) == 1:
             return
@@ -199,6 +216,18 @@ class MicroBatcher:
             self._q.put((c, f))
         for f in futs:
             yield f.result(timeout=self.result_timeout_s)
+
+    def _admit(self, items, reserve: int = 0):
+        """All-or-nothing admission under the queue bound."""
+        need = max(len(items), reserve)
+        with self._admit_lock:
+            if self.max_queue and self._q.qsize() + need > self.max_queue:
+                raise QueueFullError(
+                    f"serving queue full ({self._q.qsize()} pending, "
+                    f"bound {self.max_queue}); retry later"
+                )
+            for it in items:
+                self._q.put(it)
 
     # ---- worker side ----
     def _infer_group(self, inps: List[Dict[str, Any]]) -> List[np.ndarray]:
@@ -343,6 +372,16 @@ class SVSRequestHandler(BaseHTTPRequestHandler):
                 )
                 return
             self._send(200, wav_bytes(wav, self.sample_rate), "audio/wav")
+        except QueueFullError as e:
+            # bounded admission: tell the client to back off, not that
+            # the request was malformed
+            self.send_response(503)
+            body = f"error: {e}".encode()
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "1")
+            self.end_headers()
+            self.wfile.write(body)
         except Exception as e:  # surfacing the error to the UI
             if streaming_started:
                 # headers are gone; truncate the chunked stream so the
@@ -376,20 +415,22 @@ def serve(
     max_batch: int = 8,
     batch_window_ms: float = 25.0,
     max_words: int = 64,
+    max_queue: int = 128,
 ) -> ThreadingHTTPServer:
     """Start the demo server (non-blocking; returns the server object).
 
     max_batch > 1 routes requests through a `MicroBatcher` so concurrent
     scores share one device program; max_batch=0/1 restores the serial
     lock-per-request path. max_words is the word-aligned score-chunking
-    granularity (reference `gradio/infer.py:36-60`)."""
+    granularity (reference `gradio/infer.py:36-60`). max_queue bounds
+    pending score-chunks; beyond it requests get 503 + Retry-After."""
     SVSRequestHandler.infer = infer
     SVSRequestHandler.sample_rate = infer.hp["audio_sample_rate"]
     SVSRequestHandler.max_words = max_words
     SVSRequestHandler.batcher = (
         MicroBatcher(
             infer, max_batch=max_batch, window_ms=batch_window_ms,
-            max_words=max_words,
+            max_words=max_words, max_queue=max_queue,
         )
         if max_batch and max_batch > 1
         else None
@@ -455,6 +496,11 @@ def main(argv: Optional[List[str]] = None):
         help="micro-batching: how long the first request waits for "
         "companions",
     )
+    parser.add_argument(
+        "--max-queue", type=int, default=128,
+        help="admission bound: max pending score-chunks before requests "
+        "get 503 + Retry-After (0 = unbounded)",
+    )
     args, rest = parser.parse_known_args(argv)
     hp = set_hparams(rest)
     vocoder = None
@@ -473,6 +519,7 @@ def main(argv: Optional[List[str]] = None):
     httpd = serve(
         infer, args.host, args.port,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        max_queue=args.max_queue,
     )
     print(f"| serving on http://{args.host}:{args.port}")
     try:
