@@ -45,9 +45,14 @@ class MeterDict:
     def __init__(self):
         self.sums: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        # metric STRUCTURE, independent of the NaN skip below — every
+        # process sees the same val program, so this set is identical
+        # across ranks and safe to reduce over
+        self.keys: set = set()
 
     def update(self, metrics: Dict[str, Any], n: int = 1):
         for k, v in metrics.items():
+            self.keys.add(k)
             v = float(v)
             if not np.isfinite(v):
                 continue
@@ -56,6 +61,29 @@ class MeterDict:
 
     def averages(self) -> Dict[str, float]:
         return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+
+    def cross_process_averages(self) -> Dict[str, float]:
+        """Globally-averaged metrics: all-reduce the per-key (weighted
+        sum, count) pairs across processes before dividing.
+
+        The reference logs rank-LOCAL validation metrics only (its
+        pl_utils validation loop never reduces across DDP ranks) — this
+        framework does not keep that wart (round-4 verdict #9): rank 0
+        reports numbers for the whole validation set, and every rank
+        computes the same values. Single-process: identical to
+        `averages()`."""
+        if jax.process_count() == 1:
+            return self.averages()
+        from jax.experimental import multihost_utils
+
+        keys = sorted(self.keys)
+        vec = np.array(
+            [[self.sums.get(k, 0.0) for k in keys],
+             [float(self.counts.get(k, 0)) for k in keys]],
+            dtype=np.float64,
+        )
+        tot = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+        return {k: tot[0, i] / max(tot[1, i], 1.0) for i, k in enumerate(keys)}
 
 
 class Trainer:
@@ -392,7 +420,8 @@ class Trainer:
             meter.update(jax.device_get(losses), n)
             if i == 0:
                 self._log_val_media(state, batch, rng)
-        avg = meter.averages()
+        # global validation numbers (every rank participates; rank 0 logs)
+        avg = meter.cross_process_averages()
         self.log(avg, "val")
         return avg.get("total_loss", float("inf"))
 
