@@ -73,12 +73,18 @@ def praat_pitch_ac(
     octave_jump_cost: float = 0.35,
     voiced_unvoiced_cost: float = 0.14,
     max_candidates: int = 15,
+    block_frames: int = 4096,
 ) -> np.ndarray:
     """f0 contour [Hz], 0 where unvoiced — the equivalent of
     ``parselmouth.Sound(wav, sr).to_pitch_ac(...).selected_array["frequency"]``.
 
     Defaults are Praat's (`to_pitch_ac` standard arguments); the
     reference chain overrides only time_step/floor/ceiling/voicing.
+    Frames stream through the FFT/candidate stages in `block_frames`
+    blocks so a long corpus item never materializes [n_frames, nfft]
+    complex intermediates (a 10-minute 24 kHz wav would transiently need
+    ~4 GB otherwise); only the [n_frames, max_candidates] candidate
+    arrays persist for the Viterbi pass.
     """
     x = np.asarray(wav, dtype=np.float64)
     n_frames, t1, nsamp_window = praat_frame_grid(
@@ -95,86 +101,108 @@ def praat_pitch_ac(
     global_mean = x.mean() if len(x) else 0.0
     global_peak = float(np.max(np.abs(x - global_mean))) if len(x) else 0.0
 
-    # ---- frame matrix [N, nsamp_window] centered on the Praat grid ----
     centers = np.round((t1 + np.arange(n_frames) * time_step) * sr).astype(int)
     starts = centers - half
     pad_l = max(0, -starts.min())
     pad_r = max(0, (starts.max() + nsamp_window) - len(x))
     xp = np.pad(x, (pad_l, pad_r))
-    frames = xp[(starts + pad_l)[:, None] + np.arange(nsamp_window)[None, :]]
-
-    local_mean = frames.mean(axis=1, keepdims=True)
-    amp = frames - local_mean
-    # local peak over the central half-window (Praat measures intensity
-    # on the un-tapered middle of the frame)
-    q = nsamp_window // 4
-    local_peak = np.max(np.abs(amp[:, q : nsamp_window - q]), axis=1)
 
     # Praat's Hanning: w[i] = 0.5 - 0.5 cos(2*pi*(i+1)/(n+1))
     i = np.arange(1, nsamp_window + 1, dtype=np.float64)
     window = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / (nsamp_window + 1))
-
     nfft = _next_pow2(nsamp_window + max_lag + 1)
-    spec = np.fft.rfft(amp * window, n=nfft, axis=1)
-    ac = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=1)[:, : max_lag + 1]
-    ac0 = ac[:, :1]
     wspec = np.fft.rfft(window, n=nfft)
     wac = np.fft.irfft(wspec * np.conj(wspec), n=nfft)[: max_lag + 1]
     wac = wac / wac[0]
-    # normalized AC of the signal divided by that of the window
-    with np.errstate(divide="ignore", invalid="ignore"):
-        r = np.where(ac0 > 0, ac / np.maximum(ac0, 1e-300), 0.0) / np.maximum(
-            wac[None, :], 1e-12
-        )
 
-    # ---- unvoiced-candidate strength per frame (Boersma eq. 23) ----
-    intensity = (
-        local_peak / global_peak if global_peak > 0 else np.zeros(n_frames)
-    )
-    r_unvoiced = voicing_threshold + np.maximum(
-        0.0, 2.0 - intensity / (silence_threshold / (1.0 + voicing_threshold))
-    )
-
-    # ---- voiced candidates: local maxima + parabolic interpolation ----
     lags = np.arange(max_lag + 1, dtype=np.float64)
     n_cand = max_candidates
+    # persistent per-frame outputs (small): candidate frequency + the
+    # LOCAL path score (Praat Pitch_pathFinder form, see below)
     cand_freq = np.zeros((n_frames, n_cand), dtype=np.float64)  # 0 = unvoiced
     cand_str = np.full((n_frames, n_cand), -1e30, dtype=np.float64)
-    cand_str[:, 0] = r_unvoiced
 
-    interior = slice(1, max_lag)
-    is_max = (r[:, interior] > r[:, :-2][:, : max_lag - 1]) & (
-        r[:, interior] >= r[:, 2:][:, : max_lag - 1]
-    )
-    lag_ok = (lags[interior] >= min_lag)[None, :]
-    is_max &= lag_ok & (r[:, interior] > 0)
+    for b0 in range(0, n_frames, max(1, block_frames)):
+        b1 = min(b0 + block_frames, n_frames)
+        nb = b1 - b0
+        # ---- frame matrix [nb, nsamp_window] centered on the grid ----
+        frames = xp[
+            (starts[b0:b1] + pad_l)[:, None] + np.arange(nsamp_window)[None, :]
+        ]
+        local_mean = frames.mean(axis=1, keepdims=True)
+        amp = frames - local_mean
+        # local peak over ONE pitch_floor period centered on the frame
+        # midpoint — Praat's intensity window (±half a period); a wider
+        # span would inflate local intensity on amplitude-modulated
+        # signals and weaken the unvoiced candidate on decaying frames
+        q = (nsamp_window - nsamp_window // 3) // 2
+        local_peak = np.max(np.abs(amp[:, q : nsamp_window - q]), axis=1)
 
-    for t in range(n_frames):
-        if ac0[t, 0] <= 0:
-            continue
-        idx = np.nonzero(is_max[t])[0] + 1
-        if len(idx) == 0:
-            continue
-        rm, rl, rr = r[t, idx], r[t, idx - 1], r[t, idx + 1]
-        denom = 2.0 * rm - rl - rr
-        shift = np.where(denom > 0, 0.5 * (rr - rl) / np.maximum(denom, 1e-12), 0.0)
-        shift = np.clip(shift, -0.5, 0.5)
-        lag_i = idx + shift
-        r_i = rm + 0.25 * (rr - rl) * shift
-        # Praat folds over-unity strengths back: r > 1 -> 1/r
-        r_i = np.where(r_i > 1.0, 1.0 / np.maximum(r_i, 1e-12), r_i)
-        freq = sr / lag_i
-        keep = (freq > 0) & (freq < pitch_ceiling)
-        freq, r_i, lag_i = freq[keep], r_i[keep], lag_i[keep]
-        if len(freq) == 0:
-            continue
-        # candidate strength with octave cost (favors higher octaves):
-        # R = r - octave_cost * log2(pitch_floor * tau)
-        strength = r_i - octave_cost * np.log2(pitch_floor * lag_i / sr)
-        order = np.argsort(-strength)[: n_cand - 1]
-        k = len(order)
-        cand_freq[t, 1 : 1 + k] = freq[order]
-        cand_str[t, 1 : 1 + k] = strength[order]
+        spec = np.fft.rfft(amp * window, n=nfft, axis=1)
+        ac = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=1)[:, : max_lag + 1]
+        ac0 = ac[:, :1]
+        # normalized AC of the signal divided by that of the window
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(
+                ac0 > 0, ac / np.maximum(ac0, 1e-300), 0.0
+            ) / np.maximum(wac[None, :], 1e-12)
+
+        # ---- unvoiced-candidate strength (Boersma eq. 23) ----
+        intensity = (
+            local_peak / global_peak if global_peak > 0 else np.zeros(nb)
+        )
+        cand_str[b0:b1, 0] = voicing_threshold + np.maximum(
+            0.0,
+            2.0 - intensity / (silence_threshold / (1.0 + voicing_threshold)),
+        )
+
+        # ---- voiced candidates: local maxima + parabolic interpolation ----
+        interior = slice(1, max_lag)
+        is_max = (r[:, interior] > r[:, :-2][:, : max_lag - 1]) & (
+            r[:, interior] >= r[:, 2:][:, : max_lag - 1]
+        )
+        lag_ok = (lags[interior] >= min_lag)[None, :]
+        is_max &= lag_ok & (r[:, interior] > 0)
+
+        for tb in range(nb):
+            t = b0 + tb
+            if ac0[tb, 0] <= 0:
+                continue
+            idx = np.nonzero(is_max[tb])[0] + 1
+            if len(idx) == 0:
+                continue
+            rm, rl, rr = r[tb, idx], r[tb, idx - 1], r[tb, idx + 1]
+            denom = 2.0 * rm - rl - rr
+            shift = np.where(
+                denom > 0, 0.5 * (rr - rl) / np.maximum(denom, 1e-12), 0.0
+            )
+            shift = np.clip(shift, -0.5, 0.5)
+            lag_i = idx + shift
+            r_i = rm + 0.25 * (rr - rl) * shift
+            # Praat folds over-unity strengths back: r > 1 -> 1/r
+            r_i = np.where(r_i > 1.0, 1.0 / np.maximum(r_i, 1e-12), r_i)
+            freq = sr / lag_i
+            keep = (freq > 0) & (freq < pitch_ceiling)
+            freq, r_i, lag_i = freq[keep], r_i[keep], lag_i[keep]
+            if len(freq) == 0:
+                continue
+            # intra-frame RANKING uses Boersma's floor-based form
+            # R = r - octave_cost * log2(pitch_floor * tau); the PATH
+            # score below uses Praat's Pitch_pathFinder form
+            # r - octave_cost * log2(ceiling / f). The two are the same
+            # monotone function of f within a frame (they differ by the
+            # constant octave_cost*log2(ceiling/floor)), so ranking is
+            # unchanged — but the ceiling-based constant is what Praat
+            # weighs voiced candidates against the unvoiced one with,
+            # and using the floor form there biased voicing decisions
+            # by ~0.032 toward voiced.
+            rank = r_i - octave_cost * np.log2(pitch_floor * lag_i / sr)
+            order = np.argsort(-rank)[: n_cand - 1]
+            k = len(order)
+            cand_freq[t, 1 : 1 + k] = freq[order]
+            cand_str[t, 1 : 1 + k] = r_i[order] - octave_cost * np.log2(
+                pitch_ceiling / freq[order]
+            )
 
     # ---- Viterbi path search (Praat Pitch_pathFinder) ----
     # costs are defined per 10 ms of Praat time; scale to this time_step

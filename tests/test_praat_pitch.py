@@ -159,3 +159,106 @@ def test_binarizer_fallback_uses_praat(monkeypatch):
     got = B.extract_f0(x, len(x) // 128, hp)
     expect = B.extract_f0_praat_ac(x, len(x) // 128, hp)
     np.testing.assert_allclose(got, expect)
+
+
+# ---- harder, real-voice-shaped fixtures (round-4 verdict #7) -------------
+# No Praat/parselmouth binary exists in-env to pin bit-level vectors
+# against (closure note in PARITY.md), so these encode the failure modes
+# real voices exhibit: creaky low f0, breathy onsets, amplitude fades,
+# and the 80/750 Hz rails.
+
+
+def jittered(f0c, jitter=0.01, shimmer=0.25, seed=6, amps=(1.0, 0.7, 0.5, 0.3)):
+    """Creak-like source: per-period frequency jitter + amplitude
+    shimmer on top of the harmonic stack."""
+    rng = np.random.RandomState(seed)
+    n = len(f0c)
+    # slowly-varying multiplicative jitter (~per-period rate at low f0)
+    knots = rng.randn(max(8, n // 256)) * jitter
+    jit = 1.0 + np.interp(np.arange(n), np.linspace(0, n - 1, len(knots)), knots)
+    x = harmonic(f0c * jit, amps=amps, seed=seed)
+    sh_knots = 1.0 + shimmer * rng.randn(max(8, n // 512))
+    sh = np.interp(np.arange(n), np.linspace(0, n - 1, len(sh_knots)), sh_knots)
+    return x * np.clip(sh, 0.3, 1.7)
+
+
+def test_low_f0_creak_near_floor():
+    """90 Hz creaky phonation (jitter + shimmer) just above the 80 Hz
+    floor: the tracker must neither halve (impossible, below floor) nor
+    double; GPE stays small."""
+    f0c = np.full(SR * 2, 90.0)
+    x = jittered(f0c, jitter=0.015, shimmer=0.3)
+    f0 = praat_pitch_ac(x, SR, TIME_STEP)
+    n, t1, _ = praat_frame_grid(len(f0c), SR, TIME_STEP, 80.0)
+    g, mae = gpe(f0, true_frames(f0c, n, t1))
+    assert g < 0.02, f"gross errors {g}"
+    assert mae < 4.0
+    v = f0[f0 > 0]
+    assert (v > 150.0).mean() < 0.02, "octave doubling on creak"
+
+
+def test_breathy_onset():
+    """Aspiration noise fading into voicing (breathy attack): the voiced
+    steady state must be tracked; the noise-only head must not produce
+    spurious strongly-voiced frames at a wrong pitch."""
+    rng = np.random.RandomState(7)
+    n_breath, n_voice = SR // 2, SR
+    f0c = np.full(n_voice, 210.0)
+    voiced = harmonic(f0c, seed=7)
+    # crossfade: noise dominant -> harmonic dominant over the first 0.25 s
+    fade = np.linspace(0.0, 1.0, SR // 4)
+    head = 0.25 * rng.randn(n_breath)
+    head[-len(fade):] *= (1 - fade) * 2.0
+    tail_head = voiced[: len(fade)] * fade
+    x = np.concatenate([head[: -len(fade)],
+                        head[-len(fade):] + tail_head,
+                        voiced[len(fade):]])
+    f0 = praat_pitch_ac(x, SR, TIME_STEP)
+    n, t1, _ = praat_frame_grid(len(x), SR, TIME_STEP, 80.0)
+    centers = t1 + np.arange(n) * TIME_STEP
+    steady = centers > 0.75  # well inside the voiced region
+    head_only = centers < 0.3
+    v_steady = f0[steady]
+    assert (v_steady > 0).mean() > 0.95
+    assert abs(np.median(v_steady[v_steady > 0]) - 210.0) < 3.0
+    assert (f0[head_only] > 0).mean() < 0.3, "breath noise voiced"
+
+
+def test_amplitude_fade_stays_voiced_and_accurate():
+    """A long decrescendo (20 dB fade): voicing must persist deep into
+    the fade and the pitch must not drift — the local-intensity window
+    fix (ADVICE r4) is what keeps the unvoiced candidate honest here."""
+    f0c = np.full(SR * 2, 180.0)
+    t = np.arange(len(f0c)) / SR
+    x = harmonic(f0c, seed=8) * 10 ** (-20 * (t / t[-1]) / 20)
+    f0 = praat_pitch_ac(x, SR, TIME_STEP)
+    n, t1, _ = praat_frame_grid(len(f0c), SR, TIME_STEP, 80.0)
+    centers = t1 + np.arange(n) * TIME_STEP
+    deep = (centers > 1.2) & (centers < 1.9)  # -12..-19 dB region
+    v = f0[deep]
+    assert (v > 0).mean() > 0.9, "fade lost voicing too early"
+    assert abs(np.median(v[v > 0]) - 180.0) < 2.0
+
+
+def test_f0_at_the_rails():
+    """82 Hz (just above floor) and 700 Hz (near ceiling) must both
+    track without collapsing to the rail or octave-erring."""
+    for f_target, tol_hz in ((82.0, 2.0), (700.0, 8.0)):
+        f0c = np.full(SR * 2, f_target)
+        x = harmonic(f0c, amps=(1.0, 0.5, 0.2), seed=9)
+        f0 = praat_pitch_ac(x, SR, TIME_STEP)
+        n, t1, _ = praat_frame_grid(len(f0c), SR, TIME_STEP, 80.0)
+        g, mae = gpe(f0, true_frames(f0c, n, t1))
+        assert g == 0.0, f"gross errors at {f_target} Hz"
+        assert mae < tol_hz, (f_target, mae)
+
+
+def test_block_streaming_is_exact():
+    """The memory-bounded block path (ADVICE r4: stream frames through
+    the FFT stages) must be bit-identical to one-shot processing."""
+    t = np.arange(SR * 3) / SR
+    f0c = 150.0 + 60.0 * np.sin(2 * np.pi * 0.7 * t)
+    x = harmonic(f0c, seed=10) * (0.5 + 0.5 * np.sin(2 * np.pi * 1.3 * t) ** 2)
+    full = praat_pitch_ac(x, SR, TIME_STEP, block_frames=1 << 30)
+    small = praat_pitch_ac(x, SR, TIME_STEP, block_frames=37)
+    np.testing.assert_array_equal(full, small)
