@@ -118,6 +118,68 @@ def main():
             vocoder_time_fold=int(os.environ.get("BENCH_VOC_FOLD", 0)),
         )
 
+    # BENCH_CKPT=<dir>: run the bench on TRAINED flagship weights
+    # (scripts/train_flagship.py exports: diff_params.npz with the full
+    # fs2+DiffNet tree, pe_params.npz + pe_batch_stats.npz, and the
+    # vocoder/voc_mb4 generator npz from the GAN stage) instead of
+    # random init. Throughput is weight-independent on this stack
+    # (static shapes, no data-dependent control flow), so this mode
+    # exists to PIN that claim and to make the bench output a real
+    # singing-voice synthesis. DEFAULT: artifacts/flagship when its
+    # export exists (so the recorded bench measures trained weights);
+    # BENCH_CKPT=0 forces random init.
+    _default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "artifacts", "flagship")
+    ckpt_dir = os.environ.get(
+        "BENCH_CKPT",
+        _default_ckpt
+        if os.path.exists(os.path.join(_default_ckpt, "diff_params.npz"))
+        else "",
+    )
+    if ckpt_dir in ("0", "none"):
+        ckpt_dir = ""
+    ckpt_tag = ""
+    if ckpt_dir:
+        try:
+            from bisinger_tpu.vocoders.hifigan import unflatten_params
+
+            def _load_npz(name):
+                return unflatten_params(
+                    dict(np.load(os.path.join(ckpt_dir, name), allow_pickle=False))
+                )
+
+            trained_params = _load_npz("diff_params.npz")
+            # the trained token-embedding row count is the corpus vocab
+            VOCAB = int(
+                trained_params["fs2"]["encoder"]["embed_tokens"]["embed"][
+                    "embedding"
+                ].shape[0]
+            )
+            with open(os.path.join(ckpt_dir, "hparams_diff.json")) as f:
+                fhp = json.load(f)
+            # model-shape keys must come from the trained run; bench knobs
+            # (sampler, backend, buckets) stay env-controlled
+            hp = hp.replace(
+                **{
+                    k: fhp[k]
+                    for k in (
+                        "hidden_size", "enc_layers", "dec_layers", "num_spk",
+                        "enc_ffn_kernel_size", "dec_ffn_kernel_size",
+                        "residual_layers", "residual_channels",
+                        "dilation_cycle_length", "timesteps", "K_step",
+                        "schedule_type", "max_beta", "spec_min", "spec_max",
+                        "use_pitch_embed", "use_spk_id", "use_spk_embed",
+                        "predictor_hidden", "predictor_layers", "dur_predictor_layers",
+                    )
+                    if k in fhp
+                }
+            )
+            ckpt_tag = ", trained flagship weights"
+            log(f"loaded trained acoustic params from {ckpt_dir} (vocab {VOCAB})")
+        except Exception as e:
+            log(f"WARNING: trained-checkpoint load failed ({e}); random init")
+            ckpt_dir = ""
+
     from __graft_entry__ import _batch
 
     batch = _batch(B, T_TOKENS, T_MEL, VOCAB, seed=0)
@@ -126,6 +188,14 @@ def main():
     rng = jax.random.PRNGKey(0)
     state = task.init_state(rng, batch)
     params = state.params
+    if ckpt_dir:
+        try:
+            params = jax.tree_util.tree_map(
+                lambda a, b: jax.numpy.asarray(b, a.dtype), params, trained_params
+            )
+        except Exception as e:
+            log(f"WARNING: trained param tree mismatch ({e}); random init")
+            ckpt_dir, ckpt_tag = "", ""
 
     voc = HifiGanGenerator(hp=hp)
     mel0 = np.zeros((B, T_MEL, 80), np.float32)
@@ -135,6 +205,20 @@ def main():
         mel0,
         f00,
     )["params"]
+    if ckpt_dir:
+        import glob as _g
+
+        sub = "vocoder_mb4" if multiband == 4 else "vocoder"
+        cands = sorted(
+            _g.glob(os.path.join(ckpt_dir, sub, "**", "generator_*.npz"), recursive=True)
+        )
+        if cands:
+            from bisinger_tpu.vocoders.hifigan import unflatten_params as _unf
+
+            voc_params = _unf(dict(np.load(cands[-1], allow_pickle=False)))
+            log(f"loaded trained vocoder params: {cands[-1]}")
+        else:
+            log(f"WARNING: no trained vocoder npz under {ckpt_dir}/{sub}; random init")
 
     # PE f0 re-estimation between diffusion and the vocoder — the
     # production path (pe_enable). eval-mode apply uses batch_stats.
@@ -143,6 +227,14 @@ def main():
     pe_vars = (
         pe.init({"params": jax.random.PRNGKey(3)}, mel0) if use_pe else None
     )
+    if ckpt_dir and use_pe:
+        pe_vars = {"params": _load_npz("pe_params.npz")}
+        stats_fn = os.path.join(ckpt_dir, "pe_batch_stats.npz")
+        if os.path.exists(stats_fn):
+            pe_vars["batch_stats"] = _load_npz("pe_batch_stats.npz")
+        else:
+            log("WARNING: pe_batch_stats.npz missing; PE BatchNorm uses init stats")
+        log("loaded trained PE params")
 
     @jax.jit
     def synth(params, voc_params, pe_vars, batch, rng):
@@ -208,6 +300,7 @@ def main():
                     + (" + PE f0" if use_pe else "")
                     + " + HiFi-GAN NSF"
                     + (f" MB{multiband}-PQMF" if multiband > 1 else "")
+                    + ckpt_tag
                     + ")"
                 ),
                 "vs_baseline": round(value / 1.0, 3),

@@ -11,6 +11,13 @@ wall-clock days each reference budget would take on one chip.
 Run: python scripts/bench_train.py          (real chip)
      BT_PLATFORM=cpu python scripts/bench_train.py  (host smoke)
 Env: BT_B (24), BT_T (1024), BT_STEPS (20).
+     BT_MFU=1 adds FLOP accounting per step (XLA cost analysis on the
+     compiled executable) and reports achieved TFLOP/s + MFU against
+     BT_PEAK_TFLOPS (default 197, the v5e bf16 MXU peak; fp32 paths
+     count against the same number, so fp32-heavy steps understate).
+     BT_VOC=1 also measures the HifiGanTask adversarial step (D+G
+     update, B=BT_VOC_B x BT_VOC_FRAMES windows, 512-channel NSF
+     generator — the train_vocoder.py production shape).
 """
 
 import json
@@ -70,6 +77,21 @@ def main():
     batch = _batch(B, T_TOKENS, T_MEL, VOCAB, seed=0)
     rng = jax.random.PRNGKey(0)
 
+    mfu = os.environ.get("BT_MFU") == "1"
+    peak_tflops = float(os.environ.get("BT_PEAK_TFLOPS", 197.0))
+
+    def step_flops(jitted, *args):
+        """Per-step FLOPs from XLA's cost analysis of the compiled
+        executable (counts the whole fwd+bwd+optimizer program)."""
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca["flops"])
+        except Exception as e:  # pragma: no cover - cost analysis is per-backend
+            log(f"cost analysis unavailable: {e}")
+            return None
+
     out = {"metric": "train_steps_per_second", "unit": f"steps/s (B={B}, T={T_MEL})"}
     budgets = {"fs2": 320_000, "diff": 900_000}
     for name, task_cls in (
@@ -107,7 +129,74 @@ def main():
             "days_to_reference_budget": round(budgets[name] * dt / 86400, 2),
             "frames_per_s": round(B * T_MEL / dt),
         }
-        log(f"{name}: {1/dt:.2f} steps/s ({dt*1000:.0f} ms/step)")
+        if mfu:
+            fl = step_flops(
+                type(task).train_step, task, state, batch, jax.random.fold_in(rng, 0)
+            )
+            if fl is not None:
+                out[name].update(
+                    tflop_per_step=round(fl / 1e12, 3),
+                    achieved_tflops=round(fl / 1e12 / dt, 2),
+                    mfu_pct=round(100 * fl / 1e12 / dt / peak_tflops, 2),
+                )
+        log(f"{name}: {1/dt:.2f} steps/s ({dt*1000:.0f} ms/step) {out[name]}")
+
+    if os.environ.get("BT_VOC") == "1":
+        import numpy as np
+
+        from bisinger_tpu.training.vocoder_task import HifiGanTask
+
+        vb = int(os.environ.get("BT_VOC_B", 8))
+        frames = int(os.environ.get("BT_VOC_FRAMES", 64))
+        hop = hp["hop_size"]
+        vhp = hp.replace(
+            upsample_rates=[8, 4, 2, 2],
+            upsample_kernel_sizes=[16, 8, 4, 4],
+            upsample_initial_channel=512,
+            use_nsf=True,
+        )
+        vtask = HifiGanTask(vhp)
+        r = np.random.default_rng(0)
+        vbatch = {
+            "mels": r.normal(-2, 1.5, (vb, frames, 80)).astype(np.float32),
+            "f0": np.full((vb, frames), 220.0, np.float32),
+            "wav": (0.1 * r.normal(size=(vb, frames * hop))).astype(np.float32),
+        }
+        gs, ds = vtask.init_states(
+            rng, vbatch["mels"], vbatch["f0"], vbatch["wav"]
+        )
+        log("voc_gan: compiling...")
+        gs, ds, m = vtask.train_step(gs, ds, vbatch, rng)
+        float(m["gen_loss"])
+        dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                gs, ds, m = vtask.train_step(
+                    gs, ds, vbatch, jax.random.fold_in(rng, i)
+                )
+            float(m["gen_loss"])
+            dts.append((time.perf_counter() - t0) / n_steps)
+        dt = min(dts)
+        out["voc_gan"] = {
+            "steps_per_s": round(1 / dt, 3),
+            "ms_per_step": round(dt * 1000, 2),
+            "audio_s_per_step": round(vb * frames * hop / vhp["audio_sample_rate"], 3),
+        }
+        if mfu:
+            gs2, ds2 = vtask.init_states(
+                jax.random.fold_in(rng, 99), vbatch["mels"], vbatch["f0"], vbatch["wav"]
+            )
+            fl = step_flops(
+                type(vtask).train_step, vtask, gs2, ds2, vbatch, rng
+            )
+            if fl is not None:
+                out["voc_gan"].update(
+                    tflop_per_step=round(fl / 1e12, 3),
+                    achieved_tflops=round(fl / 1e12 / dt, 2),
+                    mfu_pct=round(100 * fl / 1e12 / dt / peak_tflops, 2),
+                )
+        log(f"voc_gan: {1/dt:.2f} steps/s {out['voc_gan']}")
     print(json.dumps(out))
 
 

@@ -21,6 +21,15 @@ self-stabilising and tracks DDPM-1000 closely even here.
 Run: python scripts/sampler_quality.py            (real chip)
      SQ_PLATFORM=cpu python scripts/sampler_quality.py   (host smoke)
 Env: SQ_STEPS (400), SQ_FRAMES (256).
+
+SQ_CKPT=<dir> (e.g. artifacts/flagship): skip the toy training and run
+the three samplers on the TRAINED flagship checkpoint
+(scripts/train_flagship.py export) over its own validation batch —
+this settles the BASELINE.md open question of whether the clamp-free
+PLMS-200 parity sampler converges on a properly trained denoiser.
+SQ_DATA (default /tmp/bisinger_flagship) points at the flagship work
+dir for the binarized corpus; it is re-binarized from the deterministic
+synthetic corpus if missing.
 """
 
 import json
@@ -58,6 +67,10 @@ def main():
 
     steps = int(os.environ.get("SQ_STEPS", 400))
     frames = int(os.environ.get("SQ_FRAMES", 256))
+
+    ckpt = os.environ.get("SQ_CKPT", "")
+    if ckpt:
+        return run_on_checkpoint(ckpt)
 
     root = tempfile.mkdtemp(prefix="sampler_quality_")
     make_synthetic_corpus(os.path.join(root, "raw"), n_items=24, seed=0)
@@ -148,6 +161,85 @@ def main():
                 L.ssim(jnp.asarray(mels[s]), jnp.asarray(ref)).mean()
             )
         )
+        out[s] = {"mel_mae_vs_ddpm1000": round(mae, 4), "ssim_vs_ddpm1000": round(sm, 4)}
+    print(json.dumps(out))
+
+
+def run_on_checkpoint(ckpt):
+    """Sampler agreement on the trained flagship model (SQ_CKPT mode)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bisinger_tpu.config import load_hparams
+    from bisinger_tpu.data.binarizer import M4SingerBinarizer
+    from bisinger_tpu.data.dataset import DataLoader, M4SingerDataset
+    from bisinger_tpu.data.synthetic import make_synthetic_corpus
+    from bisinger_tpu.training import losses as L
+    from bisinger_tpu.training.tasks import DiffSingerMIDITask
+    from bisinger_tpu.training.trainer import device_batch
+    from bisinger_tpu.utils.text_encoder import build_phone_encoder
+    from bisinger_tpu.vocoders.hifigan import unflatten_params
+
+    data_root = os.environ.get("SQ_DATA", "/tmp/bisinger_flagship")
+    with open(os.path.join(ckpt, "hparams_diff.json")) as f:
+        fhp = json.load(f)
+
+    def hp_for(sampler):
+        over = dict(fhp)
+        over.update(
+            raw_data_dir=os.path.join(data_root, "raw"),
+            binary_data_dir=os.path.join(data_root, "binary"),
+            # sample a modest batch: the DDPM chain is 1000 NFE
+            max_sentences=int(os.environ.get("SQ_B", 8)),
+            max_eval_sentences=int(os.environ.get("SQ_B", 8)),
+        )
+        if sampler == "plms":
+            over.update(diff_sampler="plms", pndm_speedup=5)
+        elif sampler == "dpmpp":
+            over.update(diff_sampler="dpmpp", dpm_steps=40)
+        else:
+            over.update(diff_sampler="plms", pndm_speedup=0)  # ancestral DDPM
+        return load_hparams(overrides=over)
+
+    hp = hp_for("plms")
+    if not os.path.exists(os.path.join(hp["binary_data_dir"], "phone_set.json")):
+        log("flagship binary corpus missing; re-binarizing (deterministic, seed 0)")
+        if not os.path.exists(os.path.join(hp["raw_data_dir"], "meta.json")):
+            make_synthetic_corpus(hp["raw_data_dir"], n_items=int(fhp.get("_n_items", 512)), seed=0)
+        M4SingerBinarizer(hp).process()
+    vocab = build_phone_encoder(hp["binary_data_dir"]).vocab_size
+
+    params = unflatten_params(
+        dict(np.load(os.path.join(ckpt, "diff_params.npz"), allow_pickle=False))
+    )
+    val_ds = M4SingerDataset(hp, "valid", shuffle=False)
+    vbatch = device_batch(next(iter(DataLoader(val_ds, hp, shuffle=False))))
+    sample_rng = jax.random.PRNGKey(1234)
+
+    mels = {}
+    for sampler in ("ddpm", "plms", "dpmpp"):
+        t = DiffSingerMIDITask(hp_for(sampler), vocab_size=vocab)
+        t0 = time.perf_counter()
+        ret = t.infer_step(params, vbatch, sample_rng)
+        mels[sampler] = np.asarray(ret["mel_out"])
+        log(f"{sampler}: sampled in {time.perf_counter() - t0:.1f}s")
+
+    ref = mels["ddpm"]
+    nonpad = (np.asarray(vbatch["mel2ph"]) > 0)[:, :, None].astype(np.float32)
+    gt = np.asarray(vbatch["mels"])
+    out = {
+        "ckpt": ckpt,
+        "nfe": {"ddpm": 1000, "plms": 200, "dpmpp": 40},
+        "gt_mae": {},  # vs ground-truth mel: absolute quality anchor
+    }
+    for s in ("ddpm", "plms", "dpmpp"):
+        d = np.abs(mels[s] - gt) * nonpad
+        out["gt_mae"][s] = round(float(d.sum() / (nonpad.sum() * gt.shape[-1])), 4)
+    for s in ("plms", "dpmpp"):
+        diff = np.abs(mels[s] - ref) * nonpad
+        mae = float(diff.sum() / (nonpad.sum() * ref.shape[-1]))
+        sm = float(np.asarray(L.ssim(jnp.asarray(mels[s]), jnp.asarray(ref)).mean()))
         out[s] = {"mel_mae_vs_ddpm1000": round(mae, 4), "ssim_vs_ddpm1000": round(sm, 4)}
     print(json.dumps(out))
 
