@@ -90,6 +90,12 @@ class HifiGanTask:
         self.disc_tx = optax.adamw(lr, b1=b1, b2=b2)
         self.lambda_mel = hp.get("lambda_mel", 45.0)
         self.use_mrstft = hp.get("use_mrstft_loss", False)
+        # weight-norm reparameterization of every conv kernel, matching
+        # the reference's torch.nn.utils.weight_norm training geometry
+        # (training/weight_norm.py). Params are decomposed at init and
+        # composed inside the jitted losses; export paths fold back to
+        # plain kernels so inference/checkpoints are unchanged.
+        self.weight_norm = bool(hp.get("vocoder_weight_norm", True))
         # multiband fast mode: the generator emits PQMF subbands; the
         # discriminators and losses see the PQMF-synthesized full-band
         # wav, so the rest of the GAN recipe is unchanged
@@ -102,6 +108,12 @@ class HifiGanTask:
         gen_params = self.generator.init({"params": r1, "nsf": r2}, mel, f0)["params"]
         mpd_params = self.mpd.init(r3, wav, wav)["params"]
         msd_params = self.msd.init(r4, wav, wav)["params"]
+        if self.weight_norm:
+            from bisinger_tpu.training import weight_norm as wn
+
+            gen_params = wn.decompose(gen_params)
+            mpd_params = wn.decompose(mpd_params)
+            msd_params = wn.decompose(msd_params)
         gen_state = GANTrainState.create(
             apply_fn=self.generator.apply, params=gen_params, tx=self.gen_tx
         )
@@ -112,8 +124,21 @@ class HifiGanTask:
         )
         return gen_state, disc_state
 
+    def _maybe_compose(self, params):
+        if self.weight_norm:
+            from bisinger_tpu.training import weight_norm as wn
+
+            return wn.compose(params)
+        return params
+
+    def export_gen_params(self, gen_params):
+        """Plain-kernel generator tree for npz export / inference."""
+        return self._maybe_compose(jax.device_get(gen_params))
+
     def _generate(self, gen_params, mel, f0, rng):
-        out = self.generator.apply({"params": gen_params}, mel, f0, rngs={"nsf": rng})
+        out = self.generator.apply(
+            {"params": self._maybe_compose(gen_params)}, mel, f0, rngs={"nsf": rng}
+        )
         return self.pqmf.synthesis(out) if self.pqmf is not None else out
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
@@ -133,8 +158,12 @@ class HifiGanTask:
         )
 
         def disc_loss_fn(dparams):
-            mpd_r, mpd_g, _, _ = self.mpd.apply({"params": dparams["mpd"]}, wav, wav_fake)
-            msd_r, msd_g, _, _ = self.msd.apply({"params": dparams["msd"]}, wav, wav_fake)
+            mpd_r, mpd_g, _, _ = self.mpd.apply(
+                {"params": self._maybe_compose(dparams["mpd"])}, wav, wav_fake
+            )
+            msd_r, msd_g, _, _ = self.msd.apply(
+                {"params": self._maybe_compose(dparams["msd"])}, wav, wav_fake
+            )
             r1, g1 = discriminator_loss(mpd_r, mpd_g)
             r2, g2 = discriminator_loss(msd_r, msd_g)
             return r1 + g1 + r2 + g2, {"disc_real": r1 + r2, "disc_fake": g1 + g2}
@@ -148,10 +177,10 @@ class HifiGanTask:
         def gen_loss_fn(gparams):
             fake = self._generate(gparams, mel, f0, rng_g)
             _, mpd_g, fmap_mr, fmap_mg = self.mpd.apply(
-                {"params": disc_state.params["mpd"]}, wav, fake
+                {"params": self._maybe_compose(disc_state.params["mpd"])}, wav, fake
             )
             _, msd_g, fmap_sr, fmap_sg = self.msd.apply(
-                {"params": disc_state.params["msd"]}, wav, fake
+                {"params": self._maybe_compose(disc_state.params["msd"])}, wav, fake
             )
             adv = generator_loss(mpd_g) + generator_loss(msd_g)
             fm = feature_loss(fmap_mr, fmap_mg) + feature_loss(fmap_sr, fmap_sg)

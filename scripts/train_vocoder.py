@@ -138,7 +138,9 @@ def main():
     gen_state, disc_state = task.init_states(
         jax.random.PRNGKey(0), probe["mels"], probe["f0"], probe["wav"]
     )
-    init_gen_params = jax.device_get(gen_state.params)
+    # fold weight-norm (g, v) back to plain kernels for the inference
+    # wrapper (training/weight_norm.py)
+    init_gen_params = task.export_gen_params(gen_state.params)
 
     rng = jax.random.PRNGKey(1)
     history = []
@@ -168,7 +170,7 @@ def main():
     # ---- save + round-trip through the inference wrapper -------------------
     ckpt_dir = hp["vocoder_ckpt"]
     os.makedirs(ckpt_dir, exist_ok=True)
-    flat = flatten_params(jax.device_get(gen_state.params))
+    flat = flatten_params(jax.device_get(task.export_gen_params(gen_state.params)))
     np.savez(os.path.join(ckpt_dir, f"generator_{steps:09d}.npz"), **flat)
 
     voc = HifiGAN(hp)
