@@ -12,10 +12,11 @@ NSF source module (`modules/parallel_wavegan/models/source.py:8-138,
     (phase-cumsum with the wrap-shift trick for fp32 stability) -> tanh
     linear merge -> injected after each upsample stage.
 
-TPU notes: ConvTranspose1d maps to `lax.conv_transpose`; weight-norm is
-not reparameterized (plain kernels — weight norm only changes the
-optimization geometry of GAN training, not the function class; the
-training task can enable it later if parity demands).
+TPU notes: ConvTranspose1d maps to `lax.conv_transpose`. The module
+itself holds PLAIN kernels; the reference's weight_norm training
+geometry lives in the GAN task (`training/weight_norm.py` — (g, v)
+decompose/compose around this module, folded back on export), so
+inference and checkpoint formats are unchanged.
 """
 
 from __future__ import annotations
