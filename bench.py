@@ -151,9 +151,7 @@ def main():
             trained_params = _load_npz("diff_params.npz")
             # the trained token-embedding row count is the corpus vocab
             VOCAB = int(
-                trained_params["fs2"]["encoder"]["embed_tokens"]["embed"][
-                    "embedding"
-                ].shape[0]
+                trained_params["fs2"]["token_embed"]["embed"]["embedding"].shape[0]
             )
             with open(os.path.join(ckpt_dir, "hparams_diff.json")) as f:
                 fhp = json.load(f)
