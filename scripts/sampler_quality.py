@@ -196,8 +196,12 @@ def run_on_checkpoint(ckpt):
         )
         if sampler == "plms":
             over.update(diff_sampler="plms", pndm_speedup=5)
-        elif sampler == "dpmpp":
-            over.update(diff_sampler="dpmpp", dpm_steps=40)
+        elif sampler.startswith("dpmpp"):
+            # "dpmpp" = 40 NFE; "dpmpp20"/"dpmpp10"/... sweep the ODE
+            # solver's NFE frontier on the trained model
+            over.update(
+                diff_sampler="dpmpp", dpm_steps=int(sampler[5:] or 40)
+            )
         else:
             over.update(diff_sampler="plms", pndm_speedup=0)  # ancestral DDPM
         return load_hparams(overrides=over)
@@ -217,26 +221,37 @@ def run_on_checkpoint(ckpt):
     vbatch = device_batch(next(iter(DataLoader(val_ds, hp, shuffle=False))))
     sample_rng = jax.random.PRNGKey(1234)
 
+    samplers = os.environ.get("SQ_SAMPLERS", "ddpm,plms,dpmpp").split(",")
+    if "ddpm" not in samplers:
+        samplers = ["ddpm"] + samplers
     mels = {}
-    for sampler in ("ddpm", "plms", "dpmpp"):
+    for sampler in samplers:
         t = DiffSingerMIDITask(hp_for(sampler), vocab_size=vocab)
         t0 = time.perf_counter()
         ret = t.infer_step(params, vbatch, sample_rng)
         mels[sampler] = np.asarray(ret["mel_out"])
         log(f"{sampler}: sampled in {time.perf_counter() - t0:.1f}s")
 
+    def nfe_of(s):
+        if s == "ddpm":
+            return 1000
+        if s == "plms":
+            return 200
+        return int(s[5:] or 40)
+
     ref = mels["ddpm"]
     nonpad = (np.asarray(vbatch["mel2ph"]) > 0)[:, :, None].astype(np.float32)
     gt = np.asarray(vbatch["mels"])
     out = {
         "ckpt": ckpt,
-        "nfe": {"ddpm": 1000, "plms": 200, "dpmpp": 40},
+        "nfe": {s: nfe_of(s) for s in samplers},
         "gt_mae": {},  # vs ground-truth mel: absolute quality anchor
     }
-    for s in ("ddpm", "plms", "dpmpp"):
+    for s in samplers:
         d = np.abs(mels[s] - gt) * nonpad
         out["gt_mae"][s] = round(float(d.sum() / (nonpad.sum() * gt.shape[-1])), 4)
-    for s in ("plms", "dpmpp"):
+        if s == "ddpm":
+            continue
         diff = np.abs(mels[s] - ref) * nonpad
         mae = float(diff.sum() / (nonpad.sum() * ref.shape[-1]))
         sm = float(np.asarray(L.ssim(jnp.asarray(mels[s]), jnp.asarray(ref)).mean()))
